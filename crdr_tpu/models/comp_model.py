@@ -1,0 +1,551 @@
+"""Composed compression models: the public model API (compress / decompress /
+run_model / validation / codec_setup), orchestrating jitted device programs and
+the host rANS runtime.
+
+API parity with the reference inheritance chain
+(src/models/comp_model/{base_model,hyperprior_model,hyperprior_charm_model,
+interpca_hyperprior_model,beta_cond_interpca_hyperprior_model,...}.py).
+Key behavioral contracts:
+
+* images flow in [-1, 1]; eval-path inputs are reflect-padded to /64 and
+  outputs cropped + clamped (base_model.py:137-167);
+* ``compress`` returns ``string_list = [header, z_str, y_str]`` plus predicted
+  bit costs (hyperprior_model.py:139-186);
+* beta is a decode-side parameter — never stored in the bitstream
+  (beta_cond_interpca_hyperprior_model.py:106-135);
+* training samples one integer rate_ind per batch and beta = max_beta * U{0..100}/100
+  (interpca_hyperprior_model.py:28-29, beta_cond_interpca_hyperprior_model.py:23-26).
+
+TPU-first division of labor: all CNNs (encoder/decoder/hyper/Charm slices) are
+jitted XLA programs on device; entropy coding (rANS) is host C++; the Charm
+decode interleaves per-slice device programs with streaming host decode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..entropy import (EntropyBottleneckCodec, GaussianConditionalCodec,
+                       get_scale_table)
+from ..utils.codec_utils import HeaderHandler, MultiRateHeaderHandler
+from ..utils.config import ConfigDict
+from ..utils.img_utils import calc_ms_ssim, calc_psnr, crop_image, pad_image
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from .net import CompNet
+
+Array = jax.Array
+
+
+class BaseModel:
+    """Python-side model wrapper holding the flax net + params + codec state."""
+
+    use_rate = False
+    use_beta = False
+    use_charm = False
+    stride = 64
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.logger = get_root_logger()
+        subnet_opt = opt.subnet.to_dict() if isinstance(opt.subnet, ConfigDict) \
+            else dict(opt.subnet)
+        self.net = CompNet(subnet_opt, use_rate=self.use_rate,
+                           use_beta=self.use_beta, use_charm=self.use_charm)
+        self.params: Optional[Dict] = None
+        self._rng = jax.random.PRNGKey(opt.get("seed", 0) if hasattr(opt, "get")
+                                       else 0)
+        self._np_rng = np.random.default_rng(
+            opt.get("seed", None) if hasattr(opt, "get") else None)
+        # codec state (populated by codec_setup)
+        self.codec_z: Optional[EntropyBottleneckCodec] = None
+        self.codec_y: Optional[GaussianConditionalCodec] = None
+        self.header_handler = None
+        self._jit_cache: Dict[str, Any] = {}
+        # charm geometry
+        cm = subnet_opt.get("context_model")
+        if cm is not None:
+            self.num_slices = cm["num_slices"]
+            self.slice_ch = cm["bottleneck_y"] // cm["num_slices"]
+            self.max_support_slices = cm.get("max_support_slices", 5)
+
+    # ---------------- parameter management --------------------------------
+
+    def _dummy_args(self) -> Dict:
+        kw = {}
+        if self.use_rate:
+            kw["rate_ind"] = jnp.zeros((1,), jnp.float32)
+        if self.use_beta:
+            kw["beta"] = jnp.zeros((1,), jnp.float32)
+        return kw
+
+    def init_params(self, rng: Optional[Array] = None,
+                    input_size: int = 256) -> Dict:
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda: self.net.init({"params": rng}, x, is_train=False,
+                                  **self._dummy_args()))
+        # real init (eval_shape above only checks structure cheaply first)
+        variables = self.net.init({"params": rng}, x, is_train=False,
+                                  **self._dummy_args())
+        self.params = variables["params"]
+        return self.params
+
+    def next_rng(self) -> Array:
+        self._rng, rng = jax.random.split(self._rng)
+        return rng
+
+    # ---------------- pre/post processing ----------------------------------
+
+    def data_preprocess(self, real_images: np.ndarray,
+                        is_train: bool = True) -> np.ndarray:
+        out = np.asarray(real_images, np.float32)
+        if not is_train:
+            out = pad_image(out, self.stride)
+        return out
+
+    def data_postprocess(self, *images, size: Tuple[int, int],
+                         is_train: bool) -> Any:
+        H, W = size
+        out = []
+        for img in images:
+            img = np.asarray(img)
+            if not is_train:
+                img = crop_image(img, H, W)
+                img = np.clip(img, -1.0, 1.0)
+            out.append(img)
+        return out[0] if len(out) == 1 else tuple(out)
+
+    # ---------------- sampling (training-time controls) ---------------------
+
+    def sample_rate_ind(self) -> float:
+        return float(self._np_rng.integers(0, self.rate_level))
+
+    def sample_beta(self) -> float:
+        return self.max_beta * float(self._np_rng.integers(0, 101)) / 100.0
+
+    # ---------------- forward ----------------------------------------------
+
+    def _forward_fn(self, is_train: bool):
+        key = f"forward_{is_train}"
+        if key not in self._jit_cache:
+            net = self.net
+
+            def fn(params, x, rate_ind, beta, rng):
+                kw = {}
+                if self.use_rate:
+                    kw["rate_ind"] = rate_ind
+                if self.use_beta:
+                    kw["beta"] = beta
+                out = net.apply({"params": params}, x, is_train=is_train,
+                                rng=rng, **kw)
+                num_pixel = x.shape[1] * x.shape[2]
+                summary = _rate_summary(out, num_pixel)
+                return out, summary
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def forward(self, real_images, rate_ind=None, beta=None,
+                is_train: bool = True):
+        fn = self._forward_fn(is_train)
+        rng = self.next_rng() if is_train else jax.random.PRNGKey(0)
+        ri = None if rate_ind is None else jnp.asarray([rate_ind], jnp.float32)
+        bt = None if beta is None else jnp.asarray([beta], jnp.float32)
+        return fn(self.params, jnp.asarray(real_images), ri, bt, rng)
+
+    def run_model(self, real_images, rate_ind=None, beta=None,
+                  is_train: bool = True) -> Dict:
+        real_images = np.asarray(real_images)
+        N, H, W, _ = real_images.shape
+        x = self.data_preprocess(real_images, is_train=is_train)
+
+        if self.use_rate and rate_ind is None:
+            if not is_train:
+                raise ValueError('"rate_ind" must be specified if is_train=False')
+            rate_ind = self.sample_rate_ind()
+        if self.use_beta and beta is None:
+            if not is_train:
+                raise ValueError('"beta" must be specified if is_train=False')
+            beta = self.sample_beta()
+
+        out, summary = self.forward(x, rate_ind, beta, is_train)
+        real_out, fake_out = self.data_postprocess(
+            x, out["fake_images"], size=(H, W), is_train=is_train)
+        result = dict(
+            real_images=real_out,
+            fake_images=fake_out,
+            y_hat=out["quantized_code"]["y"],
+            z_hat=out["quantized_code"]["z"],
+            **{k: np.asarray(v) for k, v in summary.items()},
+        )
+        if self.use_rate:
+            result["rate_ind"] = rate_ind
+        if self.use_beta:
+            result["beta"] = beta
+        return result
+
+    # ---------------- codec setup -------------------------------------------
+
+    def codec_setup(self) -> None:
+        assert self.params is not None, "initialize or load params first"
+        self.header_handler = (MultiRateHeaderHandler() if self.use_rate
+                               else HeaderHandler())
+        self.codec_z = EntropyBottleneckCodec(self.params["entropy_model_z"])
+        self.codec_z.update(force=True)
+        scale_bound = float(self.opt.subnet.entropy_model_y.get("scale_bound",
+                                                                0.11))
+        self.codec_y = GaussianConditionalCodec(scale_bound=scale_bound)
+        self.codec_y.update_scale_table(get_scale_table(), force=True)
+
+        enc = self.net.subnet_opt["encoder"]
+        hyp = self.net.subnet_opt["hyperencoder"]
+        self.yC = enc.get("out_ch", enc.get("bottleneck_y", 320))
+        self.zC = hyp.get("bottleneck_z", hyp.get("out_ch", 192))
+        self.y_stride = 16
+        self.model_stride = 64
+
+    def _codec_fn(self, name: str):
+        """Jitted codec-path programs, created lazily."""
+        if name in self._jit_cache:
+            return self._jit_cache[name]
+        net = self.net
+
+        if name == "encode_latents":
+            def fn(params, x, rate_ind):
+                kw = {"rate_ind": rate_ind} if self.use_rate else {}
+                return net.apply({"params": params}, x,
+                                 method=lambda n, xx, rate_ind=None:
+                                 n.encode_latents(xx, rate_ind), **kw)
+        elif name == "compress_params":
+            def fn(params, y, z_hat):
+                return net.apply({"params": params}, y, z_hat,
+                                 method=lambda n, yy, zz: n.compress_params(yy, zz))
+        elif name == "z_likelihood":
+            def fn(params, z):
+                return net.apply({"params": params}, z,
+                                 method=lambda n, zz: n.z_likelihood_eval(zz))
+        elif name == "hyper_decode":
+            def fn(params, z_hat):
+                return net.apply({"params": params}, z_hat,
+                                 method=lambda n, zz: n.hyper_decode(zz))
+        elif name == "decode_image":
+            def fn(params, y_hat, rate_ind, beta):
+                kw = {}
+                if self.use_rate:
+                    kw["rate_ind"] = rate_ind
+                if self.use_beta:
+                    kw["beta"] = beta
+                img = net.apply({"params": params}, y_hat,
+                                method=lambda n, yy, rate_ind=None, beta=None:
+                                n.decode(yy, rate_ind, beta), **kw)
+                return jnp.clip(img, -1.0, 1.0)
+        else:
+            raise KeyError(name)
+        self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def _charm_fn(self, kind: str, slice_ind: int):
+        """Per-slice jitted programs for the serial Charm decode.  Compiled
+        per distinct support width (6 shapes), cached."""
+        nsup = min(slice_ind, self.max_support_slices)
+        key = f"charm_{kind}_{nsup}"
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        net = self.net
+        if kind == "params":
+            def fn(params, slice_idx, hyper_mean, hyper_scale, support):
+                return net.apply(
+                    {"params": params}, hyper_mean, hyper_scale, support,
+                    method=lambda n, hm, hs, sup: n.charm_slice_params(
+                        slice_idx, hm, hs, sup))
+        else:  # lrp
+            def fn(params, slice_idx, hyper_mean, support, y_hat_slice):
+                return net.apply(
+                    {"params": params}, hyper_mean, support, y_hat_slice,
+                    method=lambda n, hm, sup, ys: n.charm_slice_lrp(
+                        slice_idx, hm, sup, ys))
+        jitted = jax.jit(fn, static_argnums=1)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # ---------------- compress / decompress ---------------------------------
+
+    def compress(self, real_images, rate_ind: Union[float, int, None] = None
+                 ) -> Dict:
+        assert self.codec_z is not None, "call codec_setup() first"
+        real_images = np.asarray(real_images)
+        if real_images.ndim == 3:
+            real_images = real_images[None]
+        N, H, W, _ = real_images.shape
+        assert N == 1, f"compress expects batch size 1, got {N}"
+        x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
+
+        ri = jnp.asarray([float(rate_ind)], jnp.float32) if self.use_rate else None
+        y, z = self._codec_fn("encode_latents")(self.params, x, ri)
+        y_np = np.asarray(y)
+        z_np = np.asarray(z)
+
+        # z: hard-round around medians on host, entropy-code with C++ rANS
+        med = self.codec_z.medians()[None, None, None, :]
+        z_hat_np = np.round(z_np - med) + med
+        z_str = self.codec_z.compress(z_np)
+        z_likelihood = np.asarray(self._codec_fn("z_likelihood")(self.params,
+                                                                 jnp.asarray(z_np)))
+
+        # device program: hyper-decode + all slice params + y_hat in one shot
+        y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
+            self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
+        y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
+        y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
+
+        indexes = self.codec_y.build_indexes(y_scale)
+        y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
+
+        if self.use_rate:
+            header = self.header_handler.encode((H, W), y_hat_np,
+                                                rate_ind=float(rate_ind))
+        else:
+            header = self.header_handler.encode((H, W), y_hat_np)
+
+        num_pixel = H * W
+        pred_y_bit = float(-np.log2(np.maximum(y_lik, 1e-12)).sum())
+        pred_z_bit = float(-np.log2(np.maximum(z_likelihood, 1e-12)).sum())
+
+        return {
+            "string_list": [header, z_str[0], y_str[0]],
+            "z_hat": z_hat_np,
+            "y_hat": y_hat_np,
+            "z_likelihood": z_likelihood,
+            "y_likelihood": y_lik,
+            "pred_y_bit": pred_y_bit,
+            "pred_y_bpp": pred_y_bit / num_pixel,
+            "pred_z_bit": pred_z_bit,
+            "pred_z_bpp": pred_z_bit / num_pixel,
+        }
+
+    def decompress(self, string_list: List[bytes],
+                   beta: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        assert len(string_list) == 3, \
+            f"string list must be [header, z, y], got {len(string_list)}"
+        header, z_str, y_str = string_list
+        hd = self.header_handler.decode(header)
+        H, W = hd["img_size"]
+        rate_ind = hd.get("rate_ind")
+        padH = math.ceil(H / self.model_stride) * self.model_stride
+        padW = math.ceil(W / self.model_stride) * self.model_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+
+        z_sym = self.codec_z.decompress([z_str], (zH, zW))
+        z_hat = self.codec_z.dequantize(z_sym)
+        hyper_out = self._codec_fn("hyper_decode")(self.params,
+                                                   jnp.asarray(z_hat))
+
+        if self.use_charm:
+            y_hat = self._charm_decompress(y_str, hyper_out)
+        else:
+            hyper_np = np.asarray(hyper_out)
+            means, scales = np.split(hyper_np, 2, axis=-1)
+            indexes = self.codec_y.build_indexes(scales)
+            y_hat = self.codec_y.decompress([y_str], indexes, means=means)
+
+        ri = jnp.asarray([float(rate_ind)], jnp.float32) if self.use_rate else None
+        bt = jnp.asarray([float(beta)], jnp.float32) if self.use_beta else None
+        fake = self._codec_fn("decode_image")(self.params, jnp.asarray(y_hat),
+                                              ri, bt)
+        fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        return fake, z_hat, np.asarray(y_hat)
+
+    def _charm_decompress(self, y_str: bytes, hyper_out: Array) -> np.ndarray:
+        """Serial Charm decode: device CNN per slice, host rANS in between."""
+        from ..runtime import RansStreamDecoder
+
+        hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
+        n, h, w, _ = hyper_mean.shape
+        sc = self.slice_ch
+        decoder = RansStreamDecoder(y_str)
+        y_hat_slices: List[Array] = []
+        try:
+            for i in range(self.num_slices):
+                nsup = min(i, self.max_support_slices)
+                if nsup > 0:
+                    support = jnp.concatenate(y_hat_slices[:nsup], axis=-1)
+                else:
+                    support = jnp.zeros((n, h, w, 0), hyper_mean.dtype)
+                mu, sigma = self._charm_fn("params", i)(
+                    self.params, i, hyper_mean, hyper_scale, support)
+                sigma_np = np.asarray(sigma)
+                indexes = self.codec_y.build_indexes(sigma_np)
+                # NHWC slice flattened channel-major to match encode order
+                idx_cm = indexes.transpose(0, 3, 1, 2).reshape(-1)
+                sym = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
+                                     self.codec_y.cdf_length,
+                                     self.codec_y.offset)
+                sym = sym.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
+                y_hat_slice = jnp.asarray(sym.astype(np.float32)) + mu
+                y_hat_slice = self._charm_fn("lrp", i)(
+                    self.params, i, hyper_mean, support, y_hat_slice)
+                y_hat_slices.append(y_hat_slice)
+        finally:
+            decoder.close()
+        return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
+
+    # ---------------- validation -------------------------------------------
+
+    def validation(self, dataloader, max_sample_size: int = 100,
+                   save_img: bool = False, save_dir: str = "",
+                   use_tqdm: bool = False):
+        import pandas as pd
+
+        rows = []
+        for idx, data in enumerate(dataloader):
+            row: Dict[str, Any] = {"idx": idx + 1}
+            if self.use_rate:
+                for q in range(self.rate_level):
+                    kw = {"rate_ind": float(q)}
+                    if self.use_beta:
+                        kw["beta"] = self.max_beta / 2
+                    out = self.run_model(**data, is_train=False, **kw)
+                    row[f"bpp_{q + 1}"] = float(np.mean(out["bpp"]))
+                    row[f"psnr_{q + 1}"] = calc_psnr(out["real_images"],
+                                                     out["fake_images"])
+                    row[f"ms_ssim_{q + 1}"] = calc_ms_ssim(out["real_images"],
+                                                           out["fake_images"])
+                    self._maybe_save(save_img, save_dir, idx, q, out)
+            else:
+                out = self.run_model(**data, is_train=False)
+                row["bpp"] = float(np.mean(out["bpp"]))
+                row["psnr"] = calc_psnr(out["real_images"], out["fake_images"])
+                row["ms_ssim"] = calc_ms_ssim(out["real_images"],
+                                              out["fake_images"])
+                self._maybe_save(save_img, save_dir, idx, None, out)
+            rows.append(row)
+            if idx + 1 >= max_sample_size:
+                break
+        return pd.json_normalize(rows)
+
+    def _maybe_save(self, save_img, save_dir, idx, q, out) -> None:
+        if not save_img:
+            return
+        import os
+
+        from ..utils.img_utils import imwrite
+
+        suffix = f"_q{q}" if q is not None else ""
+        imwrite(os.path.join(save_dir, f"sample_{idx + 1}_fake{suffix}.jpg"),
+                out["fake_images"])
+        if q in (None, 0):
+            imwrite(os.path.join(save_dir, f"sample_{idx + 1}_real.jpg"),
+                    out["real_images"])
+
+    # ---------------- checkpoint IO ----------------------------------------
+
+    def state_dict(self) -> Dict:
+        return {"params": jax.device_get(self.params)}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.params = jax.device_put(state["params"])
+
+    def load_learned_weight(self, ckpt_path: str) -> None:
+        """Load a checkpoint saved by this framework, or import a reference
+        PyTorch ``.pth.tar`` (detected by extension)."""
+        if ckpt_path.endswith((".pth", ".pth.tar", ".pt")):
+            from ..importers.torch_import import import_reference_checkpoint
+
+            self.params = import_reference_checkpoint(ckpt_path, self)
+        else:
+            from ..utils.saver import load_pytree
+
+            ckpt = load_pytree(ckpt_path)
+            state = ckpt.get("comp_model", ckpt)
+            self.load_state_dict(state)
+        self.logger.info(f"loaded checkpoint: {ckpt_path}")
+
+    def separate_aux_parameters(self) -> Tuple[Dict, Dict]:
+        """Split params into (main, aux-quantiles) trees, as boolean masks
+        usable with optax.masked (reference base_model.py:120-135)."""
+        def is_quantiles(path) -> bool:
+            return any(getattr(k, "key", None) == "quantiles" for k in path)
+
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        main = {jax.tree_util.keystr(p) for p, _ in flat if not is_quantiles(p)}
+        aux = {jax.tree_util.keystr(p) for p, _ in flat if is_quantiles(p)}
+        assert not (main & aux)
+        return main, aux
+
+
+def _rate_summary(out: Dict, num_pixel: int) -> Dict:
+    def bits(lik):
+        axes = tuple(range(1, lik.ndim))
+        return -jnp.sum(jnp.log(lik), axis=axes) / jnp.log(2.0)
+
+    y_bpp = bits(out["likelihoods"]["y"]) / num_pixel
+    z_bpp = bits(out["likelihoods"]["z"]) / num_pixel
+    y_qbpp = bits(out["q_likelihoods"]["y"]) / num_pixel
+    z_qbpp = bits(out["q_likelihoods"]["z"]) / num_pixel
+    return {
+        "bpp": y_bpp + z_bpp,
+        "qbpp": y_qbpp + z_qbpp,
+        "y_bpp": y_bpp,
+        "z_bpp": z_bpp,
+    }
+
+
+# ---------------------------------------------------------------------------
+# concrete model classes (reference class-name parity)
+# ---------------------------------------------------------------------------
+
+@MODEL_REGISTRY.register()
+class HyperpriorModel(BaseModel):
+    pass
+
+
+@MODEL_REGISTRY.register()
+class HyperpriorCharmModel(BaseModel):
+    use_charm = True
+
+
+class _RateMixin:
+    def __init__(self, opt):
+        self.rate_level = opt.subnet.encoder.rate_level
+        assert opt.subnet.encoder.rate_level == opt.subnet.decoder.rate_level
+        super().__init__(opt)
+
+
+@MODEL_REGISTRY.register()
+class InterpCaHyperpriorModel(_RateMixin, BaseModel):
+    use_rate = True
+
+
+@MODEL_REGISTRY.register()
+class InterpCaHyperpriorCharmModel(_RateMixin, BaseModel):
+    use_rate = True
+    use_charm = True
+
+
+class _BetaMixin(_RateMixin):
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.max_beta: float = opt.subnet.decoder.max_beta
+
+
+@MODEL_REGISTRY.register()
+class BetaCondInterpCaHyperpriorModel(_BetaMixin, BaseModel):
+    use_rate = True
+    use_beta = True
+
+
+@MODEL_REGISTRY.register()
+class BetaCondInterpCaHyperpriorCharmModel(_BetaMixin, BaseModel):
+    use_rate = True
+    use_beta = True
+    use_charm = True

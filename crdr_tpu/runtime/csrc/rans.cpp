@@ -1,0 +1,288 @@
+// Host-side entropy-coding runtime for crdr_tpu.
+//
+// A fresh implementation of the 64-bit rANS coder (ryg_rans "rans64" family) with
+// the same wire format and escape/bypass scheme as CompressAI 1.2.4's
+// rans_interface.cpp (the reference's only native dependency — see
+// /root/reference/src/models/subnet/context_model/minnen20_charm_context_model.py:12
+// and compressai.ans usage in hyperprior_model.py:150-198):
+//
+//   * 16-bit probability precision, per-symbol quantized CDF rows;
+//   * out-of-range symbols escape to the last CDF slot and are bypass-coded in
+//     4-bit chunks with a unary-style chunk-count prefix;
+//   * encoding is buffered and performed in reverse so the decoder reads forward;
+//   * stream = sequence of 32-bit little-endian words.
+//
+// Unlike CompressAI's pybind11 interface (python lists), this exposes a flat
+// C ABI over int32 arrays for zero-copy numpy interop via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kPrecision = 16;
+constexpr uint32_t kBypassPrecision = 4;
+constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
+constexpr uint64_t kRansL = 1ull << 31;
+
+struct RansSym {
+  uint16_t start;
+  uint16_t range;
+  bool bypass;  // when true, `start` is a raw value of kBypassPrecision bits
+};
+
+inline void enc_put(uint64_t &x, uint32_t *&ptr, uint32_t start, uint32_t freq) {
+  const uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+inline void enc_put_bits(uint64_t &x, uint32_t *&ptr, uint32_t val,
+                         uint32_t nbits) {
+  const uint64_t x_max = (kRansL >> nbits) << 32;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  x = (x << nbits) | val;
+}
+
+inline void enc_flush(uint64_t x, uint32_t *&ptr) {
+  ptr -= 2;
+  ptr[0] = static_cast<uint32_t>(x);
+  ptr[1] = static_cast<uint32_t>(x >> 32);
+}
+
+struct RansDecState {
+  uint64_t x = 0;
+  const uint32_t *ptr = nullptr;
+  const uint32_t *end = nullptr;
+  std::vector<uint32_t> buf;  // owns a word-aligned copy of the stream
+
+  void init(const uint8_t *stream, int64_t len) {
+    const size_t nwords = (static_cast<size_t>(len) + 3) / 4;
+    buf.assign(nwords, 0);
+    std::memcpy(buf.data(), stream, static_cast<size_t>(len));
+    ptr = buf.data();
+    end = buf.data() + nwords;
+    x = static_cast<uint64_t>(ptr[0]) | (static_cast<uint64_t>(ptr[1]) << 32);
+    ptr += 2;
+  }
+
+  inline uint32_t get() const {
+    return static_cast<uint32_t>(x & ((1u << kPrecision) - 1));
+  }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    const uint64_t mask = (1u << kPrecision) - 1;
+    x = freq * (x >> kPrecision) + (x & mask) - start;
+    if (x < kRansL && ptr < end) {
+      x = (x << 32) | *ptr++;
+    }
+  }
+
+  inline uint32_t get_bits(uint32_t nbits) {
+    const uint32_t val = static_cast<uint32_t>(x & ((1u << nbits) - 1));
+    x >>= nbits;
+    if (x < kRansL && ptr < end) {
+      x = (x << 32) | *ptr++;
+    }
+    return val;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// PMF -> integer CDF with 16-bit total, matching CompressAI's deterministic
+// rounding + frequency-stealing normalization (cpp_exts/ops/ops.cpp).  The rANS
+// tables — and therefore every encoded bitstream — depend on this rounding.
+// Returns 0 on success; out must hold n+1 entries.
+int pmf_to_quantized_cdf_c(const float *pmf, int n, int precision,
+                           int32_t *out) {
+  if (n <= 0) return -1;
+  std::vector<uint32_t> cdf(static_cast<size_t>(n) + 1);
+  cdf[0] = 0;
+  for (int i = 0; i < n; ++i) {
+    const float p = pmf[i];
+    if (!(p >= 0.f) || p != p) return -2;  // negative or NaN
+    cdf[i + 1] =
+        static_cast<uint32_t>(p * static_cast<float>(1u << precision) + 0.5f);
+  }
+  uint64_t total = 0;
+  for (int i = 0; i <= n; ++i) total += cdf[i];
+  if (total == 0) return -3;
+  for (int i = 0; i <= n; ++i) {
+    cdf[i] = static_cast<uint32_t>(
+        (static_cast<uint64_t>(1u << precision) * cdf[i]) / total);
+  }
+  for (int i = 1; i <= n; ++i) cdf[i] += cdf[i - 1];
+  cdf[n] = 1u << precision;
+
+  for (int i = 0; i < n; ++i) {
+    if (cdf[i] != cdf[i + 1]) continue;
+    // steal one count from the lowest-frequency symbol with freq > 1
+    uint32_t best_freq = ~0u;
+    int best = -1;
+    for (int j = 0; j < n; ++j) {
+      const uint32_t freq = cdf[j + 1] - cdf[j];
+      if (freq > 1 && freq < best_freq) {
+        best_freq = freq;
+        best = j;
+      }
+    }
+    if (best < 0) return -4;
+    if (best < i) {
+      for (int j = best + 1; j <= i; ++j) cdf[j]--;
+    } else {
+      for (int j = i + 1; j <= best; ++j) cdf[j]++;
+    }
+  }
+  for (int i = 0; i <= n; ++i) out[i] = static_cast<int32_t>(cdf[i]);
+  return 0;
+}
+
+// Encode n symbols against per-symbol CDF rows selected by `indexes`.
+// cdfs: [cdf_rows, cdf_cols] row-major int32.  Returns byte length written to
+// `out` (capacity out_cap), or negative on error (-5: overflow).
+int64_t rans_encode_with_indexes(const int32_t *symbols, const int32_t *indexes,
+                                 int64_t n, const int32_t *cdfs, int cdf_rows,
+                                 int cdf_cols, const int32_t *cdf_lengths,
+                                 const int32_t *offsets, uint8_t *out,
+                                 int64_t out_cap) {
+  std::vector<RansSym> syms;
+  syms.reserve(static_cast<size_t>(n) + 16);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= cdf_rows) return -1;
+    const int32_t *cdf = cdfs + static_cast<int64_t>(idx) * cdf_cols;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int32_t value = symbols[i] - offsets[idx];
+
+    uint32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+    }
+    syms.push_back({static_cast<uint16_t>(cdf[value]),
+                    static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false});
+
+    if (value == max_value) {
+      // chunk-count prefix, then the 4-bit chunks (LSB first)
+      uint32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      uint32_t val = n_bypass;
+      while (val >= kMaxBypassVal) {
+        syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
+        val -= kMaxBypassVal;
+      }
+      syms.push_back({static_cast<uint16_t>(val), 0, true});
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        syms.push_back({static_cast<uint16_t>(
+                            (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal),
+                        0, true});
+      }
+    }
+  }
+
+  std::vector<uint32_t> buf(syms.size() + 4);
+  uint32_t *ptr = buf.data() + buf.size();
+  uint64_t x = kRansL;
+  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
+    if (it->bypass) {
+      enc_put_bits(x, ptr, it->start, kBypassPrecision);
+    } else {
+      enc_put(x, ptr, it->start, it->range);
+    }
+  }
+  enc_flush(x, ptr);
+
+  const int64_t nbytes =
+      static_cast<int64_t>(buf.data() + buf.size() - ptr) * 4;
+  if (nbytes > out_cap) return -5;
+  std::memcpy(out, ptr, static_cast<size_t>(nbytes));
+  return nbytes;
+}
+
+static void decode_symbols(RansDecState &st, const int32_t *indexes, int64_t n,
+                           const int32_t *cdfs, int cdf_cols,
+                           const int32_t *cdf_lengths, const int32_t *offsets,
+                           int32_t *out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t *cdf = cdfs + static_cast<int64_t>(idx) * cdf_cols;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    const uint32_t cum = st.get();
+
+    // linear scan like the reference coder; rows are short (<= ~130 entries)
+    int32_t value = 0;
+    while (static_cast<uint32_t>(cdf[value + 1]) <= cum) ++value;
+
+    st.advance(static_cast<uint32_t>(cdf[value]),
+               static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
+
+    if (value == max_value) {
+      uint32_t val = st.get_bits(kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = st.get_bits(kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= st.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = value + offsets[idx];
+  }
+}
+
+int64_t rans_decode_with_indexes(const uint8_t *stream, int64_t stream_len,
+                                 const int32_t *indexes, int64_t n,
+                                 const int32_t *cdfs, int cdf_rows, int cdf_cols,
+                                 const int32_t *cdf_lengths,
+                                 const int32_t *offsets, int32_t *out) {
+  if (stream_len < 8) return -1;
+  (void)cdf_rows;
+  RansDecState st;
+  st.init(stream, stream_len);
+  decode_symbols(st, indexes, n, cdfs, cdf_cols, cdf_lengths, offsets, out);
+  return n;
+}
+
+// --- streaming decoder (Charm serial decode) -------------------------------
+
+void *rans_decoder_new(const uint8_t *stream, int64_t len) {
+  if (len < 8) return nullptr;
+  auto *st = new RansDecState();
+  st->init(stream, len);
+  return st;
+}
+
+void rans_decoder_decode(void *dec, const int32_t *indexes, int64_t n,
+                         const int32_t *cdfs, int cdf_rows, int cdf_cols,
+                         const int32_t *cdf_lengths, const int32_t *offsets,
+                         int32_t *out) {
+  (void)cdf_rows;
+  auto *st = static_cast<RansDecState *>(dec);
+  decode_symbols(*st, indexes, n, cdfs, cdf_cols, cdf_lengths, offsets, out);
+}
+
+void rans_decoder_free(void *dec) { delete static_cast<RansDecState *>(dec); }
+
+}  // extern "C"
