@@ -57,18 +57,21 @@ class HificRateLoss:
         self.lambda_schedule = lambda_schedule
         self.target_rate_schedule = target_rate_schedule
 
-    def _resolve(self, current_iter: int):
-        la, lb, tgt = self.lambda_A, self.lambda_B, self.target_rate
-        if self.lambda_schedule:
-            la = get_scheduled_params(la, self.lambda_schedule, current_iter)
-            lb = get_scheduled_params(lb, self.lambda_schedule, current_iter)
-        if self.target_rate_schedule:
-            tgt = get_scheduled_params(tgt, self.target_rate_schedule,
-                                       current_iter)
-        return la, lb, tgt
+    def schedule_mults(self, current_iter: int):
+        """Host-side: resolve schedule multipliers for this iteration.  These
+        are passed into the jitted step as traced scalars so schedule changes
+        never retrigger compilation."""
+        lm = get_scheduled_params(1.0, self.lambda_schedule, current_iter) \
+            if self.lambda_schedule else 1.0
+        tm = get_scheduled_params(1.0, self.target_rate_schedule,
+                                  current_iter) \
+            if self.target_rate_schedule else 1.0
+        return lm, tm
 
-    def __call__(self, bpp, qbpp, current_iter: int = 0, **kwargs):
-        la, lb, tgt = self._resolve(current_iter)
+    def __call__(self, bpp, qbpp, lambda_mult=1.0, target_mult=1.0, **kwargs):
+        la = self.lambda_A * lambda_mult
+        lb = self.lambda_B * lambda_mult
+        tgt = self.target_rate * target_mult
         qbpp_mean = jnp.mean(jax_stop_gradient(qbpp))
         weight = jnp.where(qbpp_mean > tgt, la, lb)
         return weight * jnp.mean(bpp)
@@ -98,17 +101,12 @@ class HificVariableRateLoss(HificRateLoss):
         self.lambda_schedule = lambda_schedule
         self.target_rate_schedule = target_rate_schedule
 
-    def __call__(self, bpp, qbpp, rate_ind, current_iter: int = 0, **kwargs):
+    def __call__(self, bpp, qbpp, rate_ind, lambda_mult=1.0, target_mult=1.0,
+                 **kwargs):
         idx = jnp.asarray(rate_ind).reshape(-1)[0].astype(jnp.int32)
-        la = jnp.take(jnp.asarray(self.lambda_A), idx)
-        lb = jnp.take(jnp.asarray(self.lambda_B), idx)
-        tgt = jnp.take(jnp.asarray(self.target_rate), idx)
-        if self.lambda_schedule:
-            mult = get_scheduled_params(1.0, self.lambda_schedule, current_iter)
-            la, lb = la * mult, lb * mult
-        if self.target_rate_schedule:
-            tgt = tgt * get_scheduled_params(1.0, self.target_rate_schedule,
-                                             current_iter)
+        la = jnp.take(jnp.asarray(self.lambda_A), idx) * lambda_mult
+        lb = jnp.take(jnp.asarray(self.lambda_B), idx) * lambda_mult
+        tgt = jnp.take(jnp.asarray(self.target_rate), idx) * target_mult
         qbpp_mean = jnp.mean(jax_stop_gradient(qbpp))
         weight = jnp.where(qbpp_mean > tgt, la, lb)
         return weight * jnp.mean(bpp)

@@ -71,6 +71,11 @@ class CompNet(nn.Module):
     def z_forward(self, z: Array, is_train: bool, rng=None):
         return self.entropy_model_z(z, is_train=is_train, rng=rng)
 
+    def aux_loss(self) -> Array:
+        """Aggregated aux loss of the entropy bottleneck(s)
+        (reference base_model.py:68-78)."""
+        return self.entropy_model_z.loss()
+
     # ---- full forward (training / eval) ----------------------------------
 
     def __call__(self, x: Array, rate_ind=None, beta=None,
