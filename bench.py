@@ -1,0 +1,75 @@
+"""Throughput benchmark: encode+decode transform Mpixel/s on the flagship model.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Protocol: the full neural codec pipeline on one chip at 768x512 (Kodak size):
+analysis transform + hyper + Charm entropy-parameter pass (encode side), and
+hyper-decode + Charm parameter pass + synthesis transform (decode side), plus
+the host rANS encode/decode of the actual bitstream.  This is the end-to-end
+per-image compute a user pays (minus disk I/O).
+
+``vs_baseline``: ratio against the CPU reference figure recorded in
+``BASELINE_CPU.json`` (measured once by running this same pipeline with
+JAX_PLATFORMS=cpu; the torch reference cannot run here — compressai is not
+installed — so the CPU-JAX figure stands in as the conservative baseline).
+The reference publishes no speed numbers (SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+
+
+def run_pipeline(model, img):
+    enc = model.compress(img, rate_ind=2.0)
+    fake, _, _ = model.decompress(enc["string_list"], beta=2.56)
+    return enc, fake
+
+
+def main():
+    from __graft_entry__ import _flagship_model
+
+    H, W = 512, 768  # Kodak landscape
+    model = _flagship_model(tiny=False)
+    model.codec_setup()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32)
+
+    # warmup (compile)
+    run_pipeline(model, img)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_pipeline(model, img)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (H * W) / dt / 1e6
+
+    vs_baseline = 0.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("mpixel_s"):
+            vs_baseline = mpix_s / base["mpixel_s"]
+
+    print(json.dumps({
+        "metric": "encode+decode Mpixel/s (768x512, flagship CRDR, 1 chip)",
+        "value": round(mpix_s, 4),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

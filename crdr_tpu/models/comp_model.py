@@ -134,10 +134,20 @@ class BaseModel:
 
     # ---------------- forward ----------------------------------------------
 
+    @property
+    def codec_precision(self) -> str:
+        """Matmul precision for codec/eval paths.  'highest' (f32 on the MXU)
+        keeps entropy parameters deterministic across platforms — required for
+        reference-checkpoint rate parity; set ``codec_precision: default`` in
+        the config to trade that for ~3x faster convs (bf16 passes)."""
+        return self.opt.get("codec_precision", "highest") \
+            if hasattr(self.opt, "get") else "highest"
+
     def _forward_fn(self, is_train: bool):
         key = f"forward_{is_train}"
         if key not in self._jit_cache:
             net = self.net
+            prec = None if is_train else self.codec_precision
 
             def fn(params, x, rate_ind, beta, rng):
                 kw = {}
@@ -145,8 +155,9 @@ class BaseModel:
                     kw["rate_ind"] = rate_ind
                 if self.use_beta:
                     kw["beta"] = beta
-                out = net.apply({"params": params}, x, is_train=is_train,
-                                rng=rng, **kw)
+                with _precision_scope(prec):
+                    out = net.apply({"params": params}, x, is_train=is_train,
+                                    rng=rng, **kw)
                 num_pixel = x.shape[1] * x.shape[2]
                 summary = _rate_summary(out, num_pixel)
                 return out, summary
@@ -214,10 +225,12 @@ class BaseModel:
         self.model_stride = 64
 
     def _codec_fn(self, name: str):
-        """Jitted codec-path programs, created lazily."""
+        """Jitted codec-path programs, created lazily.  All traced under the
+        codec matmul-precision policy."""
         if name in self._jit_cache:
             return self._jit_cache[name]
         net = self.net
+        prec = self.codec_precision
 
         if name == "encode_latents":
             def fn(params, x, rate_ind):
@@ -250,7 +263,12 @@ class BaseModel:
                 return jnp.clip(img, -1.0, 1.0)
         else:
             raise KeyError(name)
-        self._jit_cache[name] = jax.jit(fn)
+
+        def wrapped(*args):
+            with _precision_scope(prec):
+                return fn(*args)
+
+        self._jit_cache[name] = jax.jit(wrapped)
         return self._jit_cache[name]
 
     def _charm_fn(self, kind: str, slice_ind: int):
@@ -273,7 +291,13 @@ class BaseModel:
                     {"params": params}, hyper_mean, support, y_hat_slice,
                     method=lambda n, hm, sup, ys: n.charm_slice_lrp(
                         slice_idx, hm, sup, ys))
-        jitted = jax.jit(fn, static_argnums=1)
+        prec = self.codec_precision
+
+        def wrapped(params, slice_idx, *args):
+            with _precision_scope(prec):
+                return fn(params, slice_idx, *args)
+
+        jitted = jax.jit(wrapped, static_argnums=1)
         self._jit_cache[key] = jitted
         return jitted
 
@@ -481,6 +505,15 @@ class BaseModel:
         aux = {jax.tree_util.keystr(p) for p, _ in flat if is_quantiles(p)}
         assert not (main & aux)
         return main, aux
+
+
+def _precision_scope(prec: Optional[str]):
+    """Context manager setting the default matmul precision during tracing."""
+    import contextlib
+
+    if prec is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(prec)
 
 
 def _rate_summary(out: Dict, num_pixel: int) -> Dict:

@@ -139,6 +139,10 @@ class ModuleListDiscriminator(nn.Module):
 
     def __call__(self, x: Array, rate_ind: Union[int, Array],
                  train: bool = True, **kwargs) -> Array:
+        if self.is_initializing():
+            # touch every sub-discriminator so all params are created
+            outs = [d(x, train=train) for d in self.sub_d]
+            return outs[0]
         if isinstance(rate_ind, (int, float)):
             return self.sub_d[int(rate_ind)](x, train=train)
         # traced rate index: evaluate via switch so one program serves all rates
@@ -170,6 +174,9 @@ class SharedBackboneClic21GvaeDiscriminator(nn.Module):
     def __call__(self, x: Array, rate_ind: Union[int, Array],
                  train: bool = True, **kwargs) -> Array:
         feat = self.backbone(x, train)
+        if self.is_initializing():
+            outs = [h(feat) for h in self.heads]
+            return outs[0]
         if isinstance(rate_ind, (int, float)):
             return self.heads[int(rate_ind)](feat)
         idx = jnp.asarray(rate_ind).reshape(-1)[0].astype(jnp.int32)

