@@ -90,10 +90,6 @@ class BaseModel:
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
         x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        variables = jax.eval_shape(
-            lambda: self.net.init({"params": rng}, x, is_train=False,
-                                  **self._dummy_args()))
-        # real init (eval_shape above only checks structure cheaply first)
         variables = self.net.init({"params": rng}, x, is_train=False,
                                   **self._dummy_args())
         self.params = variables["params"]
