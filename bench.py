@@ -40,13 +40,15 @@ def main():
     from __graft_entry__ import _flagship_model
 
     H, W = 512, 768  # Kodak landscape
+    print("bench: building model...", file=sys.stderr, flush=True)
     model = _flagship_model(tiny=False)
     model.codec_setup()
     rng = np.random.default_rng(0)
     img = rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32)
 
-    # warmup (compile)
+    print("bench: warmup/compile...", file=sys.stderr, flush=True)
     run_pipeline(model, img)
+    print("bench: timing...", file=sys.stderr, flush=True)
 
     iters = 5
     t0 = time.perf_counter()

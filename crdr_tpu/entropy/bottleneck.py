@@ -205,12 +205,23 @@ class EntropyBottleneckCodec:
 
         samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
             + pmf_start[:, None, None]
-        jparams = {k: jnp.asarray(v) for k, v in self.params.items()}
         nf = len(self.filters)
-        lower = np.asarray(_logits_cumulative(
-            jparams, jnp.asarray(samples - 0.5), nf, True))
-        upper = np.asarray(_logits_cumulative(
-            jparams, jnp.asarray(samples + 0.5), nf, True))
+        # host-side table building: run the tiny logits program on the CPU
+        # backend — compiling it on an accelerator wastes minutes of remote
+        # compile for microseconds of math
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        import contextlib
+        ctx = jax.default_device(cpu) if cpu is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            jparams = {k: jnp.asarray(v) for k, v in self.params.items()}
+            lower = np.asarray(_logits_cumulative(
+                jparams, jnp.asarray(samples - 0.5), nf, True))
+            upper = np.asarray(_logits_cumulative(
+                jparams, jnp.asarray(samples + 0.5), nf, True))
         sign = -np.sign(lower + upper)
         pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
         tail = _sigmoid(lower[:, 0, 0]) + _sigmoid(-upper[:, 0, -1])

@@ -56,8 +56,12 @@ class BaseModel:
         self.logger = get_root_logger()
         subnet_opt = opt.subnet.to_dict() if isinstance(opt.subnet, ConfigDict) \
             else dict(opt.subnet)
+        # CompressAI-compat [0,1] range option (reference base_model.py:22-27)
+        self.convert_img_range = bool(opt.get("convert_img_range_to_01", False)
+                                      if hasattr(opt, "get") else False)
         self.net = CompNet(subnet_opt, use_rate=self.use_rate,
-                           use_beta=self.use_beta, use_charm=self.use_charm)
+                           use_beta=self.use_beta, use_charm=self.use_charm,
+                           img_range_01=self.convert_img_range)
         self.params: Optional[Dict] = None
         self._rng = jax.random.PRNGKey(opt.get("seed", 0) if hasattr(opt, "get")
                                        else 0)
@@ -87,12 +91,23 @@ class BaseModel:
 
     def init_params(self, rng: Optional[Array] = None,
                     input_size: int = 256) -> Dict:
+        """Initialize parameters.  The init trace runs on CPU at the minimum
+        spatial size (param values are independent of H/W): compiling the full
+        flagship forward on the accelerator just to draw init values costs
+        minutes via remote compile; on CPU at 64x64 it is seconds."""
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
-        x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        variables = self.net.init({"params": rng}, x, is_train=False,
-                                  **self._dummy_args())
-        self.params = variables["params"]
+        size = min(input_size, 64)
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _NullCtx()
+        with ctx:
+            variables = self.net.init({"params": rng}, x, is_train=False,
+                                      **self._dummy_args())
+        self.params = jax.device_put(variables["params"])
         return self.params
 
     def next_rng(self) -> Array:
@@ -104,6 +119,8 @@ class BaseModel:
     def data_preprocess(self, real_images: np.ndarray,
                         is_train: bool = True) -> np.ndarray:
         out = np.asarray(real_images, np.float32)
+        if self.convert_img_range:  # [-1,1] -> [0,1]
+            out = (out + 1.0) / 2.0
         if not is_train:
             out = pad_image(out, self.stride)
         return out
@@ -114,6 +131,8 @@ class BaseModel:
         out = []
         for img in images:
             img = np.asarray(img)
+            if self.convert_img_range:  # [0,1] -> [-1,1]
+                img = (img - 0.5) * 2.0
             if not is_train:
                 img = crop_image(img, H, W)
                 img = np.clip(img, -1.0, 1.0)
@@ -220,6 +239,16 @@ class BaseModel:
         self.y_stride = 16
         self.model_stride = 64
 
+        self._charm_packed = None
+        if self.use_charm:
+            from ..ops.charm_uniform import pack_charm_weights
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            packed = pack_charm_weights(
+                self.params["context_model"], self.num_slices, self.slice_ch,
+                cm_opt["hyper_out_ch"] // 2, self.max_support_slices)
+            self._charm_packed = {k: jnp.asarray(v) for k, v in packed.items()}
+
     def _codec_fn(self, name: str):
         """Jitted codec-path programs, created lazily.  All traced under the
         codec matmul-precision policy."""
@@ -268,25 +297,36 @@ class BaseModel:
         return self._jit_cache[name]
 
     def _charm_fn(self, kind: str, slice_ind: int):
-        """Per-slice jitted programs for the serial Charm decode.  Compiled
-        per distinct support width (6 shapes), cached."""
-        nsup = min(slice_ind, self.max_support_slices)
-        key = f"charm_{kind}_{nsup}"
+        """Fused per-slice jitted programs for the serial Charm decode."""
+        key = f"charm_{kind}_{slice_ind}"
         if key in self._jit_cache:
             return self._jit_cache[key]
         net = self.net
-        if kind == "params":
-            def fn(params, slice_idx, hyper_mean, hyper_scale, support):
+        bound = self.codec_y.scale_bound
+
+        if kind == "first":
+            def fn(params, slice_idx, hyper_mean, hyper_scale, table):
+                return net.apply(
+                    {"params": params}, hyper_mean, hyper_scale, table,
+                    method=lambda n, hm, hs, tb: n.charm_decode_first(
+                        hm, hs, tb, bound))
+        elif kind == "step":
+            def fn(params, slice_idx, hyper_mean, hyper_scale, support,
+                   sym, mu, table):
                 return net.apply(
                     {"params": params}, hyper_mean, hyper_scale, support,
-                    method=lambda n, hm, hs, sup: n.charm_slice_params(
-                        slice_idx, hm, hs, sup))
-        else:  # lrp
-            def fn(params, slice_idx, hyper_mean, support, y_hat_slice):
+                    sym, mu, table,
+                    method=lambda n, hm, hs, sup, sy, m, tb:
+                    n.charm_decode_step(slice_idx, hm, hs, sup, sy, m, tb,
+                                        bound))
+        elif kind == "last":
+            def fn(params, slice_idx, hyper_mean, support, sym, mu):
                 return net.apply(
-                    {"params": params}, hyper_mean, support, y_hat_slice,
-                    method=lambda n, hm, sup, ys: n.charm_slice_lrp(
-                        slice_idx, hm, sup, ys))
+                    {"params": params}, hyper_mean, support, sym, mu,
+                    method=lambda n, hm, sup, sy, m: n.charm_decode_last(
+                        hm, sup, sy, m))
+        else:
+            raise KeyError(kind)
         prec = self.codec_precision
 
         def wrapped(params, slice_idx, *args):
@@ -385,36 +425,67 @@ class BaseModel:
         fake = self.data_postprocess(fake, size=(H, W), is_train=False)
         return fake, z_hat, np.asarray(y_hat)
 
+    def _charm_step_fn(self):
+        """The single shape-uniform Charm decode program (see
+        ops/charm_uniform.py) — one compile serves every slice."""
+        if "charm_uniform" in self._jit_cache:
+            return self._jit_cache["charm_uniform"]
+        from ..ops.charm_uniform import uniform_decode_step
+
+        cm_opt = self.net.subnet_opt["context_model"]
+        actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+            .get("actv", "relu")
+        bound = self.codec_y.scale_bound
+        ns, sc, msup = self.num_slices, self.slice_ch, self.max_support_slices
+        prec = self.codec_precision
+
+        def fn(packed, slice_idx, hyper_mean, hyper_scale, support_buf,
+               sym_prev, mu_prev, table):
+            with _precision_scope(prec):
+                return uniform_decode_step(
+                    packed, slice_idx, hyper_mean, hyper_scale, support_buf,
+                    sym_prev, mu_prev, table, bound, ns, sc, msup, actv)
+
+        self._jit_cache["charm_uniform"] = jax.jit(
+            fn, donate_argnums=(4,))
+        return self._jit_cache["charm_uniform"]
+
     def _charm_decompress(self, y_str: bytes, hyper_out: Array) -> np.ndarray:
-        """Serial Charm decode: device CNN per slice, host rANS in between."""
+        """Serial Charm decode: ONE uniform device program per step (slice
+        reconstruction + next entropy params + rANS indexes), interleaved
+        with host rANS decode."""
         from ..runtime import RansStreamDecoder
 
+        assert self._charm_packed is not None, "codec_setup() builds weights"
         hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
         n, h, w, _ = hyper_mean.shape
         sc = self.slice_ch
+        table = jnp.asarray(self.codec_y.scale_table, jnp.float32)
+        step = self._charm_step_fn()
+        sup_w = self.max_support_slices * sc
+        support = jnp.zeros((n, h, w, sup_w), hyper_mean.dtype)
+        zeros = jnp.zeros((n, h, w, sc), hyper_mean.dtype)
+
         decoder = RansStreamDecoder(y_str)
         y_hat_slices: List[Array] = []
         try:
-            for i in range(self.num_slices):
-                nsup = min(i, self.max_support_slices)
-                if nsup > 0:
-                    support = jnp.concatenate(y_hat_slices[:nsup], axis=-1)
-                else:
-                    support = jnp.zeros((n, h, w, 0), hyper_mean.dtype)
-                mu, sigma = self._charm_fn("params", i)(
-                    self.params, i, hyper_mean, hyper_scale, support)
-                sigma_np = np.asarray(sigma)
-                indexes = self.codec_y.build_indexes(sigma_np)
-                # NHWC slice flattened channel-major to match encode order
-                idx_cm = indexes.transpose(0, 3, 1, 2).reshape(-1)
-                sym = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
-                                     self.codec_y.cdf_length,
-                                     self.codec_y.offset)
-                sym = sym.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
-                y_hat_slice = jnp.asarray(sym.astype(np.float32)) + mu
-                y_hat_slice = self._charm_fn("lrp", i)(
-                    self.params, i, hyper_mean, support, y_hat_slice)
-                y_hat_slices.append(y_hat_slice)
+            sym, mu = zeros, zeros
+            for i in range(self.num_slices + 1):
+                y_prev, support, mu_next, indexes = step(
+                    self._charm_packed, jnp.int32(i), hyper_mean, hyper_scale,
+                    support, sym, mu, table)
+                if i > 0:
+                    y_hat_slices.append(y_prev)
+                if i < self.num_slices:
+                    idx_cm = np.asarray(indexes).transpose(0, 3, 1, 2) \
+                        .reshape(-1)
+                    dec = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
+                                         self.codec_y.cdf_length,
+                                         self.codec_y.offset)
+                    sym = jnp.asarray(
+                        dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
+                        .astype(np.float32))
+                    mu = mu_next
         finally:
             decoder.close()
         return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
@@ -501,6 +572,14 @@ class BaseModel:
         aux = {jax.tree_util.keystr(p) for p, _ in flat if is_quantiles(p)}
         assert not (main & aux)
         return main, aux
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def _precision_scope(prec: Optional[str]):

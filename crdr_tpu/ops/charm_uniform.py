@@ -1,0 +1,149 @@
+"""Uniform-shape Charm decode step: ONE compiled program for all slices.
+
+The naive serial decode needs a distinct XLA program per slice (support width
+grows 0..160 ch and each slice has its own weights), which costs a full
+compile per slice.  Here every slice runs the SAME program:
+
+* the decoded-support lives in a fixed (N, H, W, max_support*slice_ch) buffer,
+  zero-padded for not-yet-decoded slices;
+* each slice's three SliceTransform weight sets are zero-padded to the maximum
+  input width and stacked along a leading slice axis; the program gathers the
+  current slice's weights with a traced index.
+
+Zero-padded input channels meet zero-padded weight rows, so outputs are
+bit-identical to the per-slice-shaped computation (modulo float addition of
+exact zeros).  Extra FLOPs on early slices are marginal against the latency of
+10 separate device-program compiles.
+
+Weight layout convention for the padded first conv (in-channel axis):
+``[hyper(Ch) | support(max_support*slice_ch) | (lrp only) current slice]``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_ACTV = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2),
+}
+
+
+def pack_charm_weights(cm_params: Dict, num_slices: int, slice_ch: int,
+                       hyper_ch: int, max_support: int) -> Dict[str, np.ndarray]:
+    """Stack + zero-pad the per-slice SliceTransform weights.
+
+    ``cm_params``: the flax param subtree of Minnen20CharmContextModel.
+    Returns arrays keyed ``{mean,scale,lrp}{0,2,4}_{w,b}`` with a leading
+    slice axis.
+    """
+    sup_w = max_support * slice_ch
+    out: Dict[str, list] = {}
+
+    def first_in_width(kind: str) -> int:
+        return hyper_ch + sup_w + (slice_ch if kind == "lrp" else 0)
+
+    for kind in ("mean", "scale", "lrp"):
+        for layer, tag in (("model_0", "0"), ("model_2", "2"), ("model_4", "4")):
+            ws, bs = [], []
+            for i in range(num_slices):
+                p = cm_params[f"{kind}_slice_transforms_{i}"][layer]
+                w = np.asarray(p["weight"], np.float32)
+                b = np.asarray(p["bias"], np.float32)
+                if layer == "model_0":
+                    nsup = min(i, max_support) if max_support >= 0 else i
+                    used = nsup * slice_ch
+                    kh, kw, cin, cout = w.shape
+                    padded = np.zeros((kh, kw, first_in_width(kind), cout),
+                                      np.float32)
+                    # hyper rows
+                    padded[:, :, :hyper_ch] = w[:, :, :hyper_ch]
+                    # support rows go to their fixed offsets
+                    padded[:, :, hyper_ch:hyper_ch + used] = \
+                        w[:, :, hyper_ch:hyper_ch + used]
+                    if kind == "lrp":
+                        # the current-slice rows sit at the fixed tail offset
+                        padded[:, :, hyper_ch + sup_w:] = \
+                            w[:, :, hyper_ch + used:hyper_ch + used + slice_ch]
+                    w = padded
+                ws.append(w)
+                bs.append(b)
+            out[f"{kind}{tag}_w"] = np.stack(ws)
+            out[f"{kind}{tag}_b"] = np.stack(bs)
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
+def _conv(x: Array, w: Array, b: Array, pad: int) -> Array:
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(pad, pad), (pad, pad)], dimension_numbers=dn) + b
+
+
+def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
+                     x: Array, actv: str) -> Array:
+    act = _ACTV[actv]
+    w0 = jnp.take(packed[f"{kind}0_w"], idx, axis=0)
+    b0 = jnp.take(packed[f"{kind}0_b"], idx, axis=0)
+    w2 = jnp.take(packed[f"{kind}2_w"], idx, axis=0)
+    b2 = jnp.take(packed[f"{kind}2_b"], idx, axis=0)
+    w4 = jnp.take(packed[f"{kind}4_w"], idx, axis=0)
+    b4 = jnp.take(packed[f"{kind}4_b"], idx, axis=0)
+    x = act(_conv(x, w0, b0, 2))
+    x = act(_conv(x, w2, b2, 2))
+    return _conv(x, w4, b4, 1)
+
+
+def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
+                        hyper_mean: Array, hyper_scale: Array,
+                        support_buf: Array, sym_prev: Array, mu_prev: Array,
+                        scale_table: Array, scale_bound: float,
+                        num_slices: int, slice_ch: int, max_support: int,
+                        actv: str = "relu"
+                        ) -> Tuple[Array, Array, Array, Array]:
+    """One serial-decode step, shape-uniform across slices.
+
+    For call ``slice_idx = i`` (i in 0..num_slices):
+      * if i > 0: reconstruct slice i-1 from (sym_prev, mu_prev) via LRP and
+        write it into the support buffer (only while it is a support slice);
+      * if i < num_slices: produce (mu_i, rANS indexes_i) for the next host
+        decode (garbage, ignored, at i == num_slices).
+
+    Returns (y_prev, support_buf, mu_i, indexes_i).
+    """
+    i = jnp.asarray(slice_idx, jnp.int32)
+    prev = jnp.maximum(i - 1, 0)
+
+    # --- reconstruct slice i-1 ------------------------------------------
+    y_prev = sym_prev + mu_prev
+    lrp_in = jnp.concatenate([hyper_mean, support_buf, y_prev], axis=-1)
+    lrp = 0.5 * jnp.tanh(_slice_transform(packed, "lrp", prev, lrp_in, actv))
+    y_prev = jnp.where(i > 0, y_prev + lrp, y_prev)
+
+    # --- grow the support buffer ----------------------------------------
+    write = (i >= 1) & (prev < max_support)
+    offset = jnp.clip(prev, 0, max_support - 1) * slice_ch
+    updated = jax.lax.dynamic_update_slice(
+        support_buf, y_prev, (0, 0, 0, offset))
+    support_buf = jnp.where(write, updated, support_buf)
+
+    # --- entropy params for slice i -------------------------------------
+    cur = jnp.minimum(i, num_slices - 1)
+    mean_in = jnp.concatenate([hyper_mean, support_buf], axis=-1)
+    scale_in = jnp.concatenate([hyper_scale, support_buf], axis=-1)
+    mu = _slice_transform(packed, "mean", cur, mean_in, actv)
+    sigma = _slice_transform(packed, "scale", cur, scale_in, actv)
+
+    sigma = jnp.maximum(sigma, scale_bound)
+    indexes = jnp.minimum(
+        jnp.searchsorted(scale_table, sigma, side="left"),
+        len(scale_table) - 1).astype(jnp.int32)
+    return y_prev, support_buf, mu, indexes

@@ -185,6 +185,46 @@ class SharedBackboneClic21GvaeDiscriminator(nn.Module):
 
 
 @DISCRIMINATOR_REGISTRY.register()
+class SharedHeadClic21GvaeDiscriminator(nn.Module):
+    """Per-rate backbones + one shared 3x3 head (reference
+    multirate_clic21_gvae_discriminator.py 'SharedHead' variant)."""
+
+    rate_level: int = 5
+    in_ch: int = 3
+    out_ch: int = 1
+    main_ch: int = 64
+    norm_type: str = "none"
+
+    def setup(self):
+        self.backbones = [
+            _Clic21Backbone(self.in_ch, self.main_ch, self.out_ch,
+                            self.norm_type, head=False, name=f"backbone_{i}")
+            for i in range(self.rate_level)
+        ]
+        self.head = Conv2d(self.out_ch, 3, 1, 1, name="head")
+
+    def __call__(self, x: Array, rate_ind: Union[int, Array],
+                 train: bool = True, **kwargs) -> Array:
+        if self.is_initializing():
+            feats = [b(x, train) for b in self.backbones]
+            return self.head(feats[0])
+        if isinstance(rate_ind, (int, float)):
+            return self.head(self.backbones[int(rate_ind)](x, train))
+        idx = jnp.asarray(rate_ind).reshape(-1)[0].astype(jnp.int32)
+        feat = jax.lax.switch(
+            idx, [(lambda v, b=b: b(v, train)) for b in self.backbones], x)
+        return self.head(feat)
+
+
+@DISCRIMINATOR_REGISTRY.register()
+class MultirateSeparateClic21GvaeDiscriminator(ModuleListDiscriminator):
+    """Fully separate per-rate discriminators (alias of the module-list
+    pattern with the CLIC21 backbone as sub-D)."""
+
+    _subd_type: str = "CLIC21GVAEDiscriminator"
+
+
+@DISCRIMINATOR_REGISTRY.register()
 class RateCondClic21GvaeDiscriminator(nn.Module):
     """One-hot rate-conditioned single discriminator: the rate index is
     broadcast as extra input planes (reference 'SharedRateCond' variant)."""

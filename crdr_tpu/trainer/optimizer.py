@@ -31,22 +31,51 @@ def make_lr_schedule(base_lr: float, sched_opt: Optional[Dict]):
     raise ValueError(f"unknown scheduler type: {stype}")
 
 
+def _base_tx(otype: str, lr, optim_opt: Dict) -> optax.GradientTransformation:
+    if otype == "Adam":
+        return optax.adam(lr, b1=optim_opt.get("betas", (0.9, 0.999))[0],
+                          b2=optim_opt.get("betas", (0.9, 0.999))[1],
+                          eps=float(optim_opt.get("eps", 1e-8)))
+    if otype == "AdamW":
+        return optax.adamw(lr, weight_decay=float(
+            optim_opt.get("weight_decay", 1e-2)))
+    if otype == "SGD":
+        return optax.sgd(lr, momentum=float(optim_opt.get("momentum", 0.0)))
+    raise ValueError(f"unknown optimizer type: {otype}")
+
+
 def build_optimizer(optim_opt: Dict, sched_opt: Optional[Dict] = None,
                     clip_max_norm: Optional[float] = None,
                     mask=None) -> optax.GradientTransformation:
     otype = optim_opt.get("type", "Adam")
-    lr = make_lr_schedule(float(optim_opt.get("lr", 1e-4)), sched_opt)
-    if otype == "Adam":
-        tx = optax.adam(lr, b1=optim_opt.get("betas", (0.9, 0.999))[0],
-                        b2=optim_opt.get("betas", (0.9, 0.999))[1],
-                        eps=float(optim_opt.get("eps", 1e-8)))
-    elif otype == "AdamW":
-        tx = optax.adamw(lr, weight_decay=float(
-            optim_opt.get("weight_decay", 1e-2)))
-    elif otype == "SGD":
-        tx = optax.sgd(lr, momentum=float(optim_opt.get("momentum", 0.0)))
+    base_lr = float(optim_opt.get("lr", 1e-4))
+    paramwise = optim_opt.get("paramwise_opt", None)
+
+    if paramwise:
+        # per-key-substring lr multipliers
+        # (reference build_optimizer_scheduler.py:11-78): a param whose
+        # flattened path contains `key` uses lr * lr_mult; first match wins.
+        import jax
+
+        rules = [(r["key"], float(r.get("lr_mult", 1.0))) for r in paramwise]
+
+        def label_tree(params):
+            def label(path, _):
+                pstr = jax.tree_util.keystr(path)
+                for i, (key, _mult) in enumerate(rules):
+                    if key in pstr:
+                        return f"group{i}"
+                return "default"
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        transforms = {"default": _base_tx(
+            otype, make_lr_schedule(base_lr, sched_opt), optim_opt)}
+        for i, (_key, mult) in enumerate(rules):
+            transforms[f"group{i}"] = _base_tx(
+                otype, make_lr_schedule(base_lr * mult, sched_opt), optim_opt)
+        tx = optax.multi_transform(transforms, label_tree)
     else:
-        raise ValueError(f"unknown optimizer type: {otype}")
+        tx = _base_tx(otype, make_lr_schedule(base_lr, sched_opt), optim_opt)
 
     chain = []
     if clip_max_norm:
@@ -57,5 +86,5 @@ def build_optimizer(optim_opt: Dict, sched_opt: Optional[Dict] = None,
         tx = optax.masked(tx, mask)
     get_root_logger().debug(
         f"optimizer built: {otype} lr={optim_opt.get('lr')} "
-        f"clip={clip_max_norm} sched={sched_opt}")
+        f"clip={clip_max_norm} sched={sched_opt} paramwise={bool(paramwise)}")
     return tx

@@ -52,6 +52,9 @@ def main(argv=None):
     if args.device:
         os.environ.setdefault("JAX_PLATFORMS", args.device)
     logger = get_root_logger()
+    from crdr_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config.from_file(args.config_path)
     cfg["is_train"] = False
 

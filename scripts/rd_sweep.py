@@ -37,7 +37,9 @@ def main(argv=None):
     p.add_argument("--max_images", type=int, default=0)
     args = p.parse_args(argv)
     logger = get_root_logger()
+    from crdr_tpu.runtime.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = Config.from_file(args.config_path)
     cfg["is_train"] = False
     model = build_comp_model(cfg)

@@ -22,6 +22,9 @@ def main(argv=None):
         os.environ.setdefault("JAX_PLATFORMS", opt.device)
     ph = PathHandler(opt.ckpt_root, opt.exp)
     ph.make_job_dir()
+    from crdr_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = get_root_logger(log_file=opt.path.log_file_path)
     logger.info(f"experiment: {opt.exp} (host {opt.host})")
     opt.dump(opt.path.config_dump_path)
