@@ -122,12 +122,21 @@ class ConvTranspose2d(nn.Module):
         b_init = self.b_init or torch_conv_weight_init(fan_in)
         w = self.param("weight", w_init, (kh, kw, in_ch, self.features))
         dtype = self.dtype or x.dtype
-        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        pads = [(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)]
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), (1, 1), pads,
-            lhs_dilation=(sh, sw), dimension_numbers=dn,
-        )
+        if (kh, kw, sh, sw, ph, pw, oph, opw) == (5, 5, 2, 2, 2, 2, 1, 1):
+            # TPU fast path: input-dilated convs lower poorly on the MXU
+            # (mostly-zero systolic passes); the exact equivalent below runs a
+            # regular 3x3 conv at input resolution with 4x output channels and
+            # interleaves the four stride-2 output phases (depth-to-space).
+            y = _deconv5s2_phase(x.astype(dtype), w.astype(dtype))
+        else:
+            dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            pads = [(kh - 1 - ph, kh - 1 - ph + oph),
+                    (kw - 1 - pw, kw - 1 - pw + opw)]
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), w.astype(dtype), (1, 1), pads,
+                lhs_dilation=(sh, sw), dimension_numbers=dn,
+            )
         if self.use_bias:
             b = self.param("bias", b_init, (self.features,))
             y = y + b.astype(dtype)
@@ -156,6 +165,37 @@ class Dense(nn.Module):
             b = self.param("bias", b_init, (self.features,))
             y = y + b.astype(x.dtype)
         return y
+
+
+def _deconv5s2_phase(x: Array, w: Array) -> Array:
+    """Exact phase decomposition of ConvTranspose2d(k=5, s=2, p=2, op=1).
+
+    With our stored (pre-flipped) kernel w[5,5,I,O], output position parity
+    selects which taps contribute:
+      even phase (per dim): taps w[0], w[2], w[4]  -> 3-tap kernel
+      odd  phase (per dim): taps w[1], w[3]        -> [0, w1, w3]
+    so the whole op is one 3x3 SAME conv producing 4*O channels followed by a
+    2x depth-to-space.  Identical values, MXU-dense.
+    """
+    O = w.shape[-1]
+    zeros_row = jnp.zeros_like(w[:1])
+    k_even_r = w[0::2]                                     # [3,5,I,O]
+    k_odd_r = jnp.concatenate([zeros_row, w[1::2]], 0)     # [3,5,I,O]
+
+    def split_cols(k):  # [3,5,I,O] -> even/odd col kernels [3,3,I,O]
+        zc = jnp.zeros_like(k[:, :1])
+        return k[:, 0::2], jnp.concatenate([zc, k[:, 1::2]], 1)
+
+    kee, keo = split_cols(k_even_r)
+    koe, koo = split_cols(k_odd_r)
+    # channel layout must match pixel_shuffle: c = o*4 + pr*2 + pc
+    kern = jnp.stack([kee, keo, koe, koo], axis=-1)        # [3,3,I,O,4]
+    kern = kern.reshape(*kern.shape[:3], O * 4)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kern.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, kern, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn)
+    return pixel_shuffle(y, 2)
 
 
 def pixel_shuffle(x: Array, factor: int) -> Array:
