@@ -264,9 +264,35 @@ class BaseModel:
                                  method=lambda n, xx, rate_ind=None:
                                  n.encode_latents(xx, rate_ind), **kw)
         elif name == "compress_params":
-            def fn(params, y, z_hat):
-                return net.apply({"params": params}, y, z_hat,
-                                 method=lambda n, yy, zz: n.compress_params(yy, zz))
+            if self.use_charm:
+                # single-scan charm encode: hyper-decode + the whole 10-slice
+                # autoregressive pass + likelihoods in ONE program with a
+                # shape-uniform scan body (ops/charm_uniform.py)
+                from ..entropy.gaussian import gaussian_likelihood
+                from ..ops.charm_uniform import uniform_encode_scan
+
+                cm_opt = self.net.subnet_opt["context_model"]
+                actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                    .get("actv", "relu")
+                bound = self.codec_y.scale_bound
+                ns, sc, msup = (self.num_slices, self.slice_ch,
+                                self.max_support_slices)
+                packed = self._charm_packed
+
+                def fn(params, y, z_hat):
+                    hyper_out = net.apply(
+                        {"params": params}, z_hat,
+                        method=lambda n, zz: n.hyper_decode(zz))
+                    hm, hs = jnp.split(hyper_out, 2, axis=-1)
+                    mu, sigma, y_hat = uniform_encode_scan(
+                        packed, y, hm, hs, ns, sc, msup, actv)
+                    lik = gaussian_likelihood(jnp.round(y - mu), sigma, bound)
+                    return mu, sigma, y_hat, lik
+            else:
+                def fn(params, y, z_hat):
+                    return net.apply(
+                        {"params": params}, y, z_hat,
+                        method=lambda n, yy, zz: n.compress_params(yy, zz))
         elif name == "z_likelihood":
             def fn(params, z):
                 return net.apply({"params": params}, z,

@@ -102,6 +102,51 @@ def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
     return _conv(x, w4, b4, 1)
 
 
+def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
+                        hyper_scale: Array, num_slices: int, slice_ch: int,
+                        max_support: int, actv: str = "relu"
+                        ) -> Tuple[Array, Array, Array]:
+    """Whole Charm encode pass as ONE lax.scan of the uniform step body.
+
+    The autoregressive chain on the encode side only flows through the
+    quantized slices (which the encoder can compute itself), so the entire
+    10-slice loop runs on device with no host round trips, and the uniform
+    shapes mean the scan body compiles once.
+
+    Returns (y_mean, y_scale, y_hat) stacked back to full channel width.
+    """
+    n, h, w, _ = y.shape
+    sup_w = max_support * slice_ch
+    y_slices = jnp.stack(jnp.split(y, num_slices, axis=-1))  # [S,N,H,W,sc]
+
+    def body(carry, inputs):
+        support_buf, idx = carry
+        y_slice = inputs
+        mean_in = jnp.concatenate([hyper_mean, support_buf], axis=-1)
+        scale_in = jnp.concatenate([hyper_scale, support_buf], axis=-1)
+        mu = _slice_transform(packed, "mean", idx, mean_in, actv)
+        sigma = _slice_transform(packed, "scale", idx, scale_in, actv)
+        y_hat = jnp.round(y_slice - mu) + mu
+        lrp_in = jnp.concatenate([hyper_mean, support_buf, y_hat], axis=-1)
+        lrp = 0.5 * jnp.tanh(_slice_transform(packed, "lrp", idx, lrp_in, actv))
+        y_hat = y_hat + lrp
+        write = idx < max_support
+        offset = jnp.clip(idx, 0, max_support - 1) * slice_ch
+        updated = jax.lax.dynamic_update_slice(support_buf, y_hat,
+                                               (0, 0, 0, offset))
+        support_buf = jnp.where(write, updated, support_buf)
+        return (support_buf, idx + 1), (mu, sigma, y_hat)
+
+    support0 = jnp.zeros((n, h, w, sup_w), y.dtype)
+    _, (mus, sigmas, y_hats) = jax.lax.scan(
+        body, (support0, jnp.int32(0)), y_slices)
+
+    def unstack(s):  # [S,N,H,W,sc] -> [N,H,W,S*sc]
+        return jnp.concatenate(list(s), axis=-1)
+
+    return unstack(mus), unstack(sigmas), unstack(y_hats)
+
+
 def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
                         hyper_mean: Array, hyper_scale: Array,
                         support_buf: Array, sym_prev: Array, mu_prev: Array,
