@@ -72,12 +72,17 @@ class BaseModel:
         self.codec_y: Optional[GaussianConditionalCodec] = None
         self.header_handler = None
         self._jit_cache: Dict[str, Any] = {}
-        # charm geometry
+        # context-model geometry / kind
         cm = subnet_opt.get("context_model")
+        self.context_type = cm["type"] if cm is not None else None
         if cm is not None:
             self.num_slices = cm["num_slices"]
             self.slice_ch = cm["bottleneck_y"] // cm["num_slices"]
             self.max_support_slices = cm.get("max_support_slices", 5)
+
+    @property
+    def _is_checkerboard(self) -> bool:
+        return self.context_type == "ElicCheckerboardCharmContextModel"
 
     # ---------------- parameter management --------------------------------
 
@@ -240,7 +245,7 @@ class BaseModel:
         self.model_stride = 64
 
         self._charm_packed = None
-        if self.use_charm:
+        if self.use_charm and self.context_type == "Minnen20CharmContextModel":
             from ..ops.charm_uniform import pack_charm_weights
 
             cm_opt = self.net.subnet_opt["context_model"]
@@ -264,7 +269,8 @@ class BaseModel:
                                  method=lambda n, xx, rate_ind=None:
                                  n.encode_latents(xx, rate_ind), **kw)
         elif name == "compress_params":
-            if self.use_charm:
+            if self.use_charm and self.context_type == \
+                    "Minnen20CharmContextModel":
                 # single-scan charm encode: hyper-decode + the whole 10-slice
                 # autoregressive pass + likelihoods in ONE program with a
                 # shape-uniform scan body (ops/charm_uniform.py)
@@ -375,26 +381,49 @@ class BaseModel:
         assert N == 1, f"compress expects batch size 1, got {N}"
         x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
 
+        import time as _time
+
+        timing = {}
+        t0 = _time.perf_counter()
         ri = jnp.asarray([float(rate_ind)], jnp.float32) if self.use_rate else None
         y, z = self._codec_fn("encode_latents")(self.params, x, ri)
         y_np = np.asarray(y)
         z_np = np.asarray(z)
+        timing["analysis_transform_s"] = _time.perf_counter() - t0
 
         # z: hard-round around medians on host, entropy-code with C++ rANS
+        t0 = _time.perf_counter()
         med = self.codec_z.medians()[None, None, None, :]
         z_hat_np = np.round(z_np - med) + med
         z_str = self.codec_z.compress(z_np)
         z_likelihood = np.asarray(self._codec_fn("z_likelihood")(self.params,
                                                                  jnp.asarray(z_np)))
+        timing["z_entropy_s"] = _time.perf_counter() - t0
 
         # device program: hyper-decode + all slice params + y_hat in one shot
+        t0 = _time.perf_counter()
         y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
             self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
         y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
         y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
+        timing["entropy_params_s"] = _time.perf_counter() - t0
 
-        indexes = self.codec_y.build_indexes(y_scale)
-        y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
+        t0 = _time.perf_counter()
+        if self._is_checkerboard:
+            # decode-order serialization: per slice, anchors then non-anchors
+            from ..runtime import rans_encode_with_indexes
+
+            sym = np.round(y_np - y_mean).astype(np.int32)
+            idx = self.codec_y.build_indexes(y_scale)
+            sym_flat = _checkerboard_serialize(sym, self.num_slices)
+            idx_flat = _checkerboard_serialize(idx, self.num_slices)
+            y_str = [rans_encode_with_indexes(
+                sym_flat, idx_flat, self.codec_y.quantized_cdf,
+                self.codec_y.cdf_length, self.codec_y.offset)]
+        else:
+            indexes = self.codec_y.build_indexes(y_scale)
+            y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
+        timing["y_entropy_s"] = _time.perf_counter() - t0
 
         if self.use_rate:
             header = self.header_handler.encode((H, W), y_hat_np,
@@ -416,6 +445,7 @@ class BaseModel:
             "pred_y_bpp": pred_y_bit / num_pixel,
             "pred_z_bit": pred_z_bit,
             "pred_z_bpp": pred_z_bit / num_pixel,
+            "timing": timing,
         }
 
     def decompress(self, string_list: List[bytes],
@@ -436,7 +466,9 @@ class BaseModel:
         hyper_out = self._codec_fn("hyper_decode")(self.params,
                                                    jnp.asarray(z_hat))
 
-        if self.use_charm:
+        if self._is_checkerboard:
+            y_hat = self._checkerboard_decompress(y_str, hyper_out)
+        elif self.use_charm:
             y_hat = self._charm_decompress(y_str, hyper_out)
         else:
             hyper_np = np.asarray(hyper_out)
@@ -512,6 +544,104 @@ class BaseModel:
                         dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
                         .astype(np.float32))
                     mu = mu_next
+        finally:
+            decoder.close()
+        return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
+
+    def _cb_fn(self, kind: str, slice_ind: int):
+        """Per-slice jitted programs for the checkerboard serial decode."""
+        key = f"cb_{kind}_{slice_ind}"
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        net = self.net
+        prec = self.codec_precision
+
+        if kind == "base":
+            def fn(params, si, hyper_mean, hyper_scale, support):
+                return net.apply(
+                    {"params": params}, hyper_mean, hyper_scale, support,
+                    method=lambda n, hm, hs, sup:
+                    n.context_model.decode_slice_base(si, hm, hs, sup))
+        elif kind == "spatial":
+            def fn(params, si, mu, sigma, y_hat_a):
+                return net.apply(
+                    {"params": params}, mu, sigma, y_hat_a,
+                    method=lambda n, m, s, ya:
+                    n.context_model.decode_slice_spatial(si, m, s, ya))
+        elif kind == "lrp":
+            def fn(params, si, hyper_mean, support, y_hat_slice):
+                return net.apply(
+                    {"params": params}, hyper_mean, support, y_hat_slice,
+                    method=lambda n, hm, sup, ys:
+                    n.context_model.decode_slice_lrp(si, hm, sup, ys))
+        else:
+            raise KeyError(kind)
+
+        def wrapped(params, si, *args):
+            with _precision_scope(prec):
+                return fn(params, si, *args)
+
+        jitted = jax.jit(wrapped, static_argnums=1)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def _checkerboard_decompress(self, y_str: bytes,
+                                 hyper_out: Array) -> np.ndarray:
+        """Two-phase (anchor -> non-anchor) decode per slice."""
+        from ..runtime import RansStreamDecoder
+        from ..subnet.context_model.checkerboard import (anchor_mask,
+                                                         merge_checkerboard,
+                                                         split_checkerboard)
+
+        hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
+        n, h, w, _ = hyper_mean.shape
+        sc = self.slice_ch
+        amask = np.asarray(anchor_mask(h, w))[None, :, :, None]
+        decoder = RansStreamDecoder(y_str)
+        y_hat_slices: List[Array] = []
+
+        def _decode_half(idx_np, subgrids) -> np.ndarray:
+            """Decode the two subgrids (channel-major each) and merge later."""
+            outs = []
+            for g in subgrids:
+                flat = g.transpose(0, 3, 1, 2).reshape(-1)
+                sym = decoder.decode(flat, self.codec_y.quantized_cdf,
+                                     self.codec_y.cdf_length,
+                                     self.codec_y.offset)
+                outs.append(sym.reshape(g.shape[0], sc, g.shape[1],
+                                        g.shape[2]).transpose(0, 2, 3, 1))
+            return outs
+
+        try:
+            for i in range(self.num_slices):
+                nsup = min(i, self.max_support_slices)
+                if nsup > 0:
+                    support = jnp.concatenate(y_hat_slices[:nsup], axis=-1)
+                else:
+                    support = jnp.zeros((n, h, w, 0), hyper_mean.dtype)
+                mu, sigma = self._cb_fn("base", i)(
+                    self.params, i, hyper_mean, hyper_scale, support)
+                sigma_np = np.asarray(sigma)
+                mu_np = np.asarray(mu)
+                idx = self.codec_y.build_indexes(sigma_np)
+                ia1, ia2, _, _ = split_checkerboard(idx)
+                a1, a2 = _decode_half(idx, (ia1, ia2))
+                # anchors reconstructed with base mu
+                zeros = np.zeros_like(a1)
+                y_a = _merge_np(a1, a2, zeros, zeros).astype(np.float32)
+                y_a = (y_a + mu_np * amask) * amask
+                mu_c, sigma_c = self._cb_fn("spatial", i)(
+                    self.params, i, mu, sigma, jnp.asarray(y_a))
+                idx_c = self.codec_y.build_indexes(np.asarray(sigma_c))
+                _, _, in1, in2 = split_checkerboard(idx_c)
+                na1, na2 = _decode_half(idx_c, (in1, in2))
+                zeros = np.zeros_like(na1)
+                y_na = _merge_np(zeros, zeros, na1, na2).astype(np.float32)
+                y_na = (y_na + np.asarray(mu_c) * (1 - amask)) * (1 - amask)
+                y_hat_slice = jnp.asarray(y_a + y_na)
+                y_hat_slice = self._cb_fn("lrp", i)(
+                    self.params, i, hyper_mean, support, y_hat_slice)
+                y_hat_slices.append(y_hat_slice)
         finally:
             decoder.close()
         return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
@@ -598,6 +728,30 @@ class BaseModel:
         aux = {jax.tree_util.keystr(p) for p, _ in flat if is_quantiles(p)}
         assert not (main & aux)
         return main, aux
+
+
+def _checkerboard_serialize(arr: np.ndarray, num_slices: int) -> np.ndarray:
+    """NHWC -> 1D symbol order: per slice, anchor subgrids (A1, A2) then
+    non-anchor subgrids (NA1, NA2), each channel-major."""
+    parts = []
+    for s in np.split(arr, num_slices, axis=-1):
+        a1 = s[:, 0::2, 0::2]
+        a2 = s[:, 1::2, 1::2]
+        na1 = s[:, 0::2, 1::2]
+        na2 = s[:, 1::2, 0::2]
+        for g in (a1, a2, na1, na2):
+            parts.append(g.transpose(0, 3, 1, 2).reshape(-1))
+    return np.concatenate(parts)
+
+
+def _merge_np(a1, a2, na1, na2):
+    n, h2, w2, c = a1.shape
+    out = np.zeros((n, h2 * 2, w2 * 2, c), a1.dtype)
+    out[:, 0::2, 0::2] = a1
+    out[:, 1::2, 1::2] = a2
+    out[:, 0::2, 1::2] = na1
+    out[:, 1::2, 0::2] = na2
+    return out
 
 
 class _NullCtx:

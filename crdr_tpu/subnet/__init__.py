@@ -14,7 +14,7 @@ from ..utils.registry import (CONTEXTMODEL_REGISTRY, DECODER_REGISTRY,
 
 # import for registration side effects
 from .autoencoder import elic, elic_interpca, elic_interpca_beta_cond  # noqa: F401
-from .context_model import charm  # noqa: F401
+from .context_model import charm, checkerboard  # noqa: F401
 from .hyperprior import minnen20  # noqa: F401
 from .. import entropy  # noqa: F401  (registers entropy models)
 

@@ -57,6 +57,20 @@ class BaseTrainer:
         self.set_dataloader()
         self.set_csv_loggers()
 
+        self.use_wandb = bool(opt.get("use_wandb", False))
+        if self.use_wandb:
+            from ..utils import wandb_compat
+
+            self._wandb = wandb_compat
+            wandb_compat.init(
+                project=opt.get("project_name", "crdr_tpu"), name=opt.exp,
+                config=opt.to_dict() if hasattr(opt, "to_dict") else None,
+                resume=opt.start_iter > 0,
+                wandb_dir=opt.get("wandb_root", "./"),
+                log_dir=opt.path.job_dir if opt.get("path") else ".")
+        else:
+            self._wandb = None
+
         self.loss_recorder = AvgMeter()
         self.time_recorder = Timer(start_iter=opt.start_iter,
                                    end_iter=opt.total_iter)
@@ -164,6 +178,9 @@ class BaseTrainer:
             f"{k}={v:.4f}" for k, v in eval_dict.items())
         self.logger.info(log_str)
         self.eval_logger.update({"iter": current_iter, **eval_dict})
+        if self._wandb:
+            self._wandb.log({"iter": current_iter,
+                             **{f"eval_{k}": v for k, v in eval_dict.items()}})
 
     def log_train_loss(self, current_iter: int) -> None:
         avg = self.loss_recorder.get_avg_values()
@@ -172,6 +189,9 @@ class BaseTrainer:
                 f"loss iter{current_iter}: "
                 + " ".join(f"{k}: {v:.3f}" for k, v in avg.items()))
         self.train_logger.update({"iter": current_iter, **avg})
+        if self._wandb and current_iter % self.opt.get("wandb_loss_step",
+                                                       10000) == 0:
+            self._wandb.log({"iter": current_iter, **avg})
         self.loss_recorder.reset()
 
     def log_time(self, current_iter: int) -> None:
@@ -179,6 +199,8 @@ class BaseTrainer:
         self.logger.info(
             f"iter {current_iter}: {stat['iter_per_sec']:.2f} it/s, "
             f"eta {stat['eta_hours']:.2f}h")
+        if self._wandb:
+            self._wandb.log({"iter": current_iter, **stat})
 
     def save(self, current_iter: int) -> None:
         raise NotImplementedError

@@ -57,9 +57,16 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
         self.d_stats = {k: v for k, v in variables.items() if k != "params"}
 
     def _d_kwargs_dummy(self) -> Dict:
+        kw: Dict[str, Any] = {}
         if self.comp_model.use_rate:
-            return {"rate_ind": 0}
-        return {}
+            kw["rate_ind"] = 0
+        if "Conditional" in self.opt.discriminator.type:
+            # latent-conditional discriminators take y_hat (/16 latent)
+            size = self.opt.dataset.train_dataset.get("image_size", 256)
+            y_ch = self.opt.discriminator.get("y_ch", 192)
+            kw["y_hat"] = jnp.zeros((1, size // 16, size // 16, y_ch),
+                                    jnp.float32)
+        return kw
 
     def _d_apply(self, d_params, d_stats, x, rate_ind=None, y_hat=None):
         variables = {"params": d_params, **(d_stats or {})}
