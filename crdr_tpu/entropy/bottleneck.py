@@ -108,7 +108,8 @@ class EntropyBottleneck(nn.Module):
         return jax.lax.stop_gradient(self.quantiles[:, 0, 1])
 
     def likelihood(self, x_chn: Array) -> Array:
-        """Likelihood of values shaped (C, 1, N)."""
+        """Likelihood of values shaped (C, 1, N); always computed in f32."""
+        x_chn = jnp.asarray(x_chn, jnp.float32)
         p = self._params_dict()
         nf = len(self.filters)
         lower = _logits_cumulative(p, x_chn - 0.5, nf, stop_gradient=False)

@@ -44,6 +44,9 @@ def get_scale_table(minimum: float = SCALES_MIN, maximum: float = SCALES_MAX,
 
 def gaussian_likelihood(values: Array, scales: Array,
                         scale_bound: float) -> Array:
+    # rate math always in f32: bf16 erfc destroys likelihood precision
+    values = jnp.asarray(values, jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
     scales = lower_bound(scales, scale_bound)
     values = jnp.abs(values)
     upper = standardized_cumulative((0.5 - values) / scales)

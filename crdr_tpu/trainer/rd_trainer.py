@@ -67,18 +67,27 @@ class RateDistortionTrainer(BaseTrainer):
     # ------------------ the jitted step ------------------
 
     def _g_losses(self, params, batch, rate_ind, beta, rng, mults):
-        """Forward + G-side losses. Shared by RD and GAN trainers."""
+        """Forward + G-side losses. Shared by RD and GAN trainers.
+
+        With ``mixed_precision: True`` the conv transforms run in bfloat16
+        (entropy math stays f32 — see entropy/gaussian.py); losses and grads
+        accumulate in f32.
+        """
         model = self.comp_model
         kw = {}
         if model.use_rate:
             kw["rate_ind"] = rate_ind
         if model.use_beta:
             kw["beta"] = beta
-        out = model.net.apply({"params": params}, batch, is_train=True,
+        x_in = batch
+        if self.opt.get("mixed_precision", False):
+            x_in = batch.astype(jnp.bfloat16)
+        out = model.net.apply({"params": params}, x_in, is_train=True,
                               rng=rng, **kw)
         num_pixel = batch.shape[1] * batch.shape[2]
         summary = _rate_summary(out, num_pixel)
-        real, fake = batch, out["fake_images"]
+        real = batch
+        fake = out["fake_images"].astype(jnp.float32)
 
         losses = {
             "distortion": self.distortion_loss(real, fake),
