@@ -51,10 +51,19 @@ def main():
     print("bench: timing...", file=sys.stderr, flush=True)
 
     iters = 5
-    t0 = time.perf_counter()
+    t_enc = t_dec = 0.0
     for _ in range(iters):
-        run_pipeline(model, img)
-    dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        enc = model.compress(img, rate_ind=2.0)
+        t_enc += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        model.decompress(enc["string_list"], beta=2.56)
+        t_dec += time.perf_counter() - t0
+    t_enc /= iters
+    t_dec /= iters
+    dt = t_enc + t_dec
+    print(f"bench: encode {t_enc:.3f}s decode {t_dec:.3f}s "
+          f"stage timing {enc['timing']}", file=sys.stderr, flush=True)
 
     mpix_s = (H * W) / dt / 1e6
 

@@ -60,6 +60,10 @@ class GDN(nn.Module):
             (self.ch, self.ch))
         b = beta_rp(beta)
         g = gamma_rp(gamma)  # [C_out, C_in] (torch conv1x1 weight layout)
+        from ..ops.pallas_gdn import pallas_gdn, use_pallas
+
+        if use_pallas():
+            return pallas_gdn(x, b, g, inverse=self.inverse)
         norm = jnp.einsum("nhwc,oc->nhwo", x * x, g) + b
         if self.inverse:
             return x * jnp.sqrt(norm)
