@@ -17,6 +17,13 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
         cache_dir = os.environ.get(
             "CRDR_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "crdr_jax_cache"))
+    # key by backend: remote-compiled TPU entries must not be offered to the
+    # host CPU backend (mismatched machine features -> potential SIGILL)
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

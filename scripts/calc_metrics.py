@@ -62,6 +62,8 @@ def main(argv=None):
         results["LPIPS"] = _lpips(pairs, logger)
     if "fid" in args.metrics:
         results["FID"] = _fid(pairs, logger)
+    if "dists" in args.metrics:
+        results["DISTS"] = _dists(pairs, logger)
 
     rate_json = os.path.join(args.fake_dir, "_avg_bitrate.json")
     if os.path.exists(rate_json):
@@ -86,6 +88,28 @@ def _lpips(pairs, logger):
     loss = LPIPSLoss(loss_weight=1.0)
     vals = [float(loss(jnp.asarray(imread(r))[None],
                        jnp.asarray(imread(f))[None])) for r, f in pairs]
+    return float(np.mean(vals))
+
+
+def _dists(pairs, logger):
+    if not os.environ.get("CRDR_DISTS_WEIGHTS"):
+        logger.warning("DISTS skipped: set CRDR_DISTS_WEIGHTS to enable")
+        return -1.0
+    import pickle
+
+    import jax.numpy as jnp
+
+    from crdr_tpu.metrics.dists import DISTS, load_dists_params
+
+    with open(os.environ["CRDR_DISTS_WEIGHTS"], "rb") as f:
+        variables = load_dists_params(pickle.load(f))
+    mod = DISTS()
+    vals = []
+    for r, fk in pairs:
+        # DISTS consumes [0,1] inputs (reference calc_metrics.py:195-216)
+        a = (jnp.asarray(imread(r))[None] + 1) / 2
+        b = (jnp.asarray(imread(fk))[None] + 1) / 2
+        vals.append(float(mod.apply(variables, a, b)[0]))
     return float(np.mean(vals))
 
 
