@@ -15,15 +15,19 @@ def build_dataset(opt: Dict, is_train: bool = False):
     opt = copy.deepcopy(dict(opt))
     name = opt.pop("name", "")
     dtype = opt.pop("type", "ImageDataset")
-    cls_name = f"{name.capitalize() if name.islower() else name}{dtype}" \
-        if name else dtype
     # reference keys the registry by name+type, e.g. 'openimage'+'ImageDataset'
-    candidates = [cls_name, f"{name}{dtype}", dtype]
+    # -> OpenImageImageDataset; resolve case-insensitively
+    candidates = [f"{name}{dtype}", dtype]
+    lower_map = {k.lower(): k for k in DATASET_REGISTRY.keys()}
+    cls = None
     for cand in candidates:
         if cand in DATASET_REGISTRY:
             cls = DATASET_REGISTRY.get(cand)
             break
-    else:
+        if cand.lower() in lower_map:
+            cls = DATASET_REGISTRY.get(lower_map[cand.lower()])
+            break
+    if cls is None:
         raise KeyError(f"no dataset registered for {candidates}")
     opt = {k: (v.to_dict() if isinstance(v, ConfigDict) else v)
            for k, v in opt.items()}
