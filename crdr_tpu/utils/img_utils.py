@@ -109,10 +109,22 @@ def _ssim_per_channel(x: jnp.ndarray, y: jnp.ndarray, win: jnp.ndarray,
 
 def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 1.0,
             win_size: int = 11, win_sigma: float = 1.5) -> jnp.ndarray:
-    """MS-SSIM on NHWC images in [0, data_range]; 5 scales, standard weights."""
-    weights = jnp.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333], dtype=jnp.float32)
+    """MS-SSIM on NHWC images in [0, data_range]; 5 scales, standard weights.
+
+    Images too small for 5 scales (min side <= (win_size-1) * 2^4, the same
+    bound pytorch_msssim asserts on) use as many scales as fit, with the
+    weights renormalized.
+    """
+    full_weights = jnp.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+                             dtype=jnp.float32)
+    min_side = min(x.shape[1], x.shape[2])
+    feasible = 1
+    while feasible < 5 and (min_side // (2 ** feasible)) >= win_size:
+        feasible += 1
+    weights = full_weights[:feasible]
+    weights = weights / jnp.sum(weights)
     win = _fspecial_gauss_1d(win_size, win_sigma)
-    levels = weights.shape[0]
+    levels = feasible
     mcs = []
     ssim_val = None
     for i in range(levels):

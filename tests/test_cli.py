@@ -1,0 +1,63 @@
+"""CLI integration tests: compress.py round-trip on a tiny model + PNG images,
+calc_metrics.py on the outputs, rd_sweep.py mini sweep."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from crdr_tpu.utils.img_utils import imwrite
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def tiny_config_and_images(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    from tests.test_comp_model import tiny_opt
+
+    cfg = tiny_opt().to_dict()
+    cfg_path = tmp / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    img_dir = tmp / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        # smooth-ish images so they compress
+        base = rng.uniform(-0.6, 0.6, (1, 1, 3)).astype(np.float32)
+        noise = rng.uniform(-0.2, 0.2, (72, 96, 3)).astype(np.float32)
+        imwrite(str(img_dir / f"img{i}.png"), base + noise)
+    return str(cfg_path), str(img_dir), str(tmp)
+
+
+def test_compress_cli_roundtrip(tiny_config_and_images):
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    from scripts.compress import main
+
+    out_dir = os.path.join(tmp, "out")
+    avg = main([cfg_path, "--img_dir", img_dir, "--save_dir", out_dir,
+                "-q", "1.0", "-b", "2.56", "--decompress", "--seed", "0"])
+    assert avg > 0
+    assert os.path.exists(os.path.join(out_dir, "img0.bin"))
+    assert os.path.exists(os.path.join(out_dir, "img0.png"))
+    assert os.path.exists(os.path.join(out_dir, "_bitrates.csv"))
+    with open(os.path.join(out_dir, "_avg_bitrate.json")) as f:
+        assert abs(json.load(f)["avg_bpp"] - avg) < 1e-9
+
+
+def test_calc_metrics_cli(tiny_config_and_images):
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    out_dir = os.path.join(tmp, "out")
+    if not os.path.exists(os.path.join(out_dir, "img0.png")):
+        pytest.skip("compress test must run first")
+    from scripts.calc_metrics import main
+
+    results = main(["--real_dir", img_dir, "--fake_dir", out_dir,
+                    "--metrics", "psnr", "ms_ssim"])
+    assert 5 < results["PSNR"] < 60
+    assert 0 <= results["MS-SSIM"] <= 1
+    assert "bpp" in results
+    assert os.path.exists(os.path.join(out_dir, "_metrics.json"))
