@@ -137,14 +137,21 @@ def import_state_dict(state_dict: Dict[str, "np.ndarray"], expected: Dict,
 
 
 def _convert(arr: np.ndarray, exp_shape: Tuple[int, ...], path: str) -> np.ndarray:
-    if arr.shape == tuple(exp_shape):
+    # Linear (out,in) -> (in,out).  MUST run before any same-shape early
+    # return: a SQUARE torch Linear weight (e.g. the 512x512 beta-MLP second
+    # layer) matches the expected shape without the transpose and would be
+    # imported transposed-wrong otherwise.
+    if arr.ndim == 2 and path.endswith(".weight"):
+        w = arr.T
+        if w.shape != tuple(exp_shape):
+            raise ValueError(f"{path}: linear {arr.shape} -> {w.shape} != "
+                             f"expected {exp_shape}")
+        return w
+    if arr.shape == tuple(exp_shape) and arr.ndim < 4:
         return arr
     # InterpCA (L,1,C,1,1) -> (L,C)
     if arr.ndim == 5 and exp_shape == (arr.shape[0], arr.shape[2]):
         return arr[:, 0, :, 0, 0]
-    # Linear (out,in) -> (in,out)
-    if arr.ndim == 2 and exp_shape == arr.shape[::-1]:
-        return arr.T
     if arr.ndim == 4 and len(exp_shape) == 4:
         if _is_conv_transpose(path, True):
             w = arr.transpose(2, 3, 0, 1)
