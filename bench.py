@@ -50,6 +50,12 @@ def main():
     run_pipeline(model, img)
     print("bench: timing...", file=sys.stderr, flush=True)
 
+    profile_dir = os.environ.get("CRDR_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     iters = 5
     t_enc = t_dec = 0.0
     for _ in range(iters):
@@ -59,6 +65,12 @@ def main():
         t0 = time.perf_counter()
         model.decompress(enc["string_list"], beta=2.56)
         t_dec += time.perf_counter() - t0
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"bench: perfetto trace -> {profile_dir}", file=sys.stderr)
+
     t_enc /= iters
     t_dec /= iters
     dt = t_enc + t_dec
