@@ -113,6 +113,6 @@ class HificVariableRateLoss(HificRateLoss):
 
 
 def jax_stop_gradient(x):
-    import jax
+    from jax import lax
 
-    return jax.lax.stop_gradient(jnp.asarray(x))
+    return lax.stop_gradient(jnp.asarray(x))

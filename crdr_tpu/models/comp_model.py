@@ -600,7 +600,7 @@ class BaseModel:
         decoder = RansStreamDecoder(y_str)
         y_hat_slices: List[Array] = []
 
-        def _decode_half(idx_np, subgrids) -> np.ndarray:
+        def _decode_half(subgrids) -> np.ndarray:
             """Decode the two subgrids (channel-major each) and merge later."""
             outs = []
             for g in subgrids:
@@ -625,7 +625,7 @@ class BaseModel:
                 mu_np = np.asarray(mu)
                 idx = self.codec_y.build_indexes(sigma_np)
                 ia1, ia2, _, _ = split_checkerboard(idx)
-                a1, a2 = _decode_half(idx, (ia1, ia2))
+                a1, a2 = _decode_half((ia1, ia2))
                 # anchors reconstructed with base mu
                 zeros = np.zeros_like(a1)
                 y_a = _merge_np(a1, a2, zeros, zeros).astype(np.float32)
@@ -634,7 +634,7 @@ class BaseModel:
                     self.params, i, mu, sigma, jnp.asarray(y_a))
                 idx_c = self.codec_y.build_indexes(np.asarray(sigma_c))
                 _, _, in1, in2 = split_checkerboard(idx_c)
-                na1, na2 = _decode_half(idx_c, (in1, in2))
+                na1, na2 = _decode_half((in1, in2))
                 zeros = np.zeros_like(na1)
                 y_na = _merge_np(zeros, zeros, na1, na2).astype(np.float32)
                 y_na = (y_na + np.asarray(mu_c) * (1 - amask)) * (1 - amask)

@@ -9,7 +9,6 @@ reuses one compiled program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import numpy as np

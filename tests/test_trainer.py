@@ -90,12 +90,23 @@ def test_rd_trainer_steps(tmp_path):
         assert log["aux"] > 0
         logs.append(log)
     assert _params_differ(p0, trainer.state.params)
-    # save & reload round-trip
+    # save & reload round-trip: optimizer state must survive, not just params
     trainer.save(2)
     ckpt = os.path.join(str(tmp_path), "tiny_test", "model",
                         "comp_model_iter2.ckpt")
     assert os.path.exists(ckpt)
+    saved_params = jax.device_get(trainer.state.params)
+    saved_opt = jax.device_get(trainer.state.opt_state)
+    # perturb, then restore
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda a: a + 1.0, trainer.state.params))
     trainer.load_checkpoint("tiny_test", 2)
+    for a, b in zip(jax.tree.leaves(saved_params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a))
+    for a, b in zip(jax.tree.leaves(saved_opt),
+                    jax.tree.leaves(trainer.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a))
 
 
 def test_stage3_gan_trainer_steps(tmp_path):
