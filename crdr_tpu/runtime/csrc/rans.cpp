@@ -223,9 +223,18 @@ static void decode_symbols(RansDecState &st, const int32_t *indexes, int64_t n,
     const int32_t max_value = cdf_lengths[idx] - 2;
     const uint32_t cum = st.get();
 
-    // linear scan like the reference coder; rows are short (<= ~130 entries)
-    int32_t value = 0;
-    while (static_cast<uint32_t>(cdf[value + 1]) <= cum) ++value;
+    // binary search for the symbol whose [cdf[v], cdf[v+1]) contains cum
+    // (the reference coder scans linearly; rows hold up to ~130 entries)
+    int32_t lo = 0, hi = cdf_lengths[idx] - 1;
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) >> 1;
+      if (static_cast<uint32_t>(cdf[mid]) <= cum) {
+        lo = mid;
+      } else {
+        hi = mid;
+      }
+    }
+    int32_t value = lo;
 
     st.advance(static_cast<uint32_t>(cdf[value]),
                static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
