@@ -36,11 +36,14 @@ class LPIPSLoss:
                 "LPIPS running with RANDOM weights (no checkpoint found); "
                 "set CRDR_LPIPS_WEIGHTS for a real perceptual loss")
 
-    def __call__(self, real_images, fake_images, **kwargs):
+    def __call__(self, real_images, fake_images, variables=None, **kwargs):
+        # `variables` lets the trainer thread the (frozen) feature weights
+        # through the jitted step as traced args instead of HLO literals
         if self.range_norm:
             real_images = (real_images - 0.5) * 2.0
             fake_images = (fake_images - 0.5) * 2.0
-        val = self.module.apply(self.variables, real_images, fake_images)
+        val = self.module.apply(variables or self.variables, real_images,
+                                fake_images)
         return self.lamb * jnp.mean(val)
 
 

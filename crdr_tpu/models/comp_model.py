@@ -283,9 +283,12 @@ class BaseModel:
                 bound = self.codec_y.scale_bound
                 ns, sc, msup = (self.num_slices, self.slice_ch,
                                 self.max_support_slices)
-                packed = self._charm_packed
 
+                # NOTE: the packed weight stacks are threaded through the
+                # params pytree (traced args) — closing over them would embed
+                # ~100MB of literals into the HLO
                 def fn(params, y, z_hat):
+                    params, packed = params["net"], params["packed"]
                     hyper_out = net.apply(
                         {"params": params}, z_hat,
                         method=lambda n, zz: n.hyper_decode(zz))
@@ -402,8 +405,12 @@ class BaseModel:
 
         # device program: hyper-decode + all slice params + y_hat in one shot
         t0 = _time.perf_counter()
+        if self.use_charm and self.context_type == "Minnen20CharmContextModel":
+            cp_params = {"net": self.params, "packed": self._charm_packed}
+        else:
+            cp_params = self.params
         y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
-            self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
+            cp_params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
         y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
         y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
         timing["entropy_params_s"] = _time.perf_counter() - t0

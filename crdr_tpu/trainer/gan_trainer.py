@@ -160,7 +160,8 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
     def _make_step(self):
         model = self.comp_model
 
-        def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults):
+        def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults,
+                    loss_consts):
             rng_g, rng_anchor = jax.random.split(rng)
             anchor = self._anchor_images(state.params, batch, rate_ind, beta,
                                          rng_anchor)
@@ -169,7 +170,8 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
             # ---------------- G step ----------------
             def g_loss_fn(params):
                 losses, out, summary = self._g_losses(params, batch, rate_ind,
-                                                      beta, rng_g, mults)
+                                                      beta, rng_g, mults,
+                                                      loss_consts)
                 fake = out["fake_images"]
                 y_hat = out["quantized_code"]["y"]
                 fake_pred, _ = self._d_apply(

@@ -65,7 +65,8 @@ class RateDistortionTrainer(BaseTrainer):
 
     # ------------------ the jitted step ------------------
 
-    def _g_losses(self, params, batch, rate_ind, beta, rng, mults):
+    def _g_losses(self, params, batch, rate_ind, beta, rng, mults,
+                  loss_consts=None):
         """Forward + G-side losses. Shared by RD and GAN trainers.
 
         With ``mixed_precision: True`` the conv transforms run in bfloat16
@@ -95,16 +96,29 @@ class RateDistortionTrainer(BaseTrainer):
                                    target_mult=mults[1]),
         }
         if self.perceptual_loss:
-            losses["perceptual"] = self.perceptual_loss(real, fake)
+            lpips_vars = (loss_consts or {}).get("lpips")
+            losses["perceptual"] = self.perceptual_loss(
+                real, fake, variables=lpips_vars)
         return losses, out, summary
+
+    def _loss_consts(self):
+        """Frozen loss-network weights (LPIPS features), passed into the
+        jitted step as traced args so they never become HLO literals."""
+        if not hasattr(self, "_loss_consts_cached"):
+            self._loss_consts_cached = {
+                "lpips": jax.device_put(self.perceptual_loss.variables)
+            } if self.perceptual_loss else {}
+        return self._loss_consts_cached
 
     def _make_step(self):
         model = self.comp_model
 
-        def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults):
+        def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults,
+                    loss_consts):
             def loss_fn(params):
                 losses, out, summary = self._g_losses(params, batch, rate_ind,
-                                                      beta, rng, mults)
+                                                      beta, rng, mults,
+                                                      loss_consts)
                 l_total = sum(losses.values())
                 return l_total, (losses, summary)
 
@@ -158,7 +172,8 @@ class RateDistortionTrainer(BaseTrainer):
             if hasattr(self.rate_loss, "schedule_mults") \
             else jnp.ones((2,), jnp.float32)
         self.state, log = self._step_fn(self.state, batch, rate_ind, beta,
-                                        self.next_rng(), mults)
+                                        self.next_rng(), mults,
+                                        self._loss_consts())
         log = {k: float(np.asarray(v)) for k, v in log.items()}
         if log.pop("skipped", 0.0) > 0:
             self.logger.warning(f"iter{itr}: skipped (loss anomaly)")
