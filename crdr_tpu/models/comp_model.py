@@ -287,7 +287,11 @@ class BaseModel:
                 # NOTE: the packed weight stacks are threaded through the
                 # params pytree (traced args) — closing over them would embed
                 # ~100MB of literals into the HLO
-                def fn(params, y, z_hat):
+                from ..entropy.gaussian import build_indexes as dev_indexes
+
+                def fn(params, y, z_hat, table):
+                    # returns everything the host coder needs with minimal
+                    # transfer: int32 symbols + indexes, max|y_hat|, pred bits
                     params, packed = params["net"], params["packed"]
                     hyper_out = net.apply(
                         {"params": params}, z_hat,
@@ -295,8 +299,13 @@ class BaseModel:
                     hm, hs = jnp.split(hyper_out, 2, axis=-1)
                     mu, sigma, y_hat = uniform_encode_scan(
                         packed, y, hm, hs, ns, sc, msup, actv)
-                    lik = gaussian_likelihood(jnp.round(y - mu), sigma, bound)
-                    return mu, sigma, y_hat, lik
+                    symbols = jnp.round(y - mu).astype(jnp.int32)
+                    indexes = dev_indexes(sigma, table, bound)
+                    lik = gaussian_likelihood(symbols.astype(jnp.float32),
+                                              sigma, bound)
+                    pred_bits = -jnp.sum(jnp.log2(lik))
+                    maxabs = jnp.max(jnp.abs(y_hat))
+                    return symbols, indexes, y_hat, pred_bits, maxabs
             else:
                 def fn(params, y, z_hat):
                     return net.apply(
@@ -403,33 +412,51 @@ class BaseModel:
                                                                  jnp.asarray(z_np)))
         timing["z_entropy_s"] = _time.perf_counter() - t0
 
-        # device program: hyper-decode + all slice params + y_hat in one shot
+        # device program: hyper-decode + all slice params + symbols in one shot
         t0 = _time.perf_counter()
+        from ..runtime import rans_encode_with_indexes
+
         if self.use_charm and self.context_type == "Minnen20CharmContextModel":
             cp_params = {"net": self.params, "packed": self._charm_packed}
-        else:
-            cp_params = self.params
-        y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
-            cp_params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
-        y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
-        y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
-        timing["entropy_params_s"] = _time.perf_counter() - t0
+            table = jnp.asarray(self.codec_y.scale_table, jnp.float32)
+            symbols, indexes, y_hat, pred_bits, maxabs = self._codec_fn(
+                "compress_params")(cp_params, jnp.asarray(y_np),
+                                   jnp.asarray(z_hat_np), table)
+            sym_np = np.asarray(symbols)
+            idx_np = np.asarray(indexes)
+            y_hat_np = np.asarray(y_hat)
+            pred_y_bit = float(pred_bits)
+            y_lik = None
+            timing["entropy_params_s"] = _time.perf_counter() - t0
 
-        t0 = _time.perf_counter()
-        if self._is_checkerboard:
-            # decode-order serialization: per slice, anchors then non-anchors
-            from ..runtime import rans_encode_with_indexes
-
-            sym = np.round(y_np - y_mean).astype(np.int32)
-            idx = self.codec_y.build_indexes(y_scale)
-            sym_flat = _checkerboard_serialize(sym, self.num_slices)
-            idx_flat = _checkerboard_serialize(idx, self.num_slices)
+            t0 = _time.perf_counter()
+            n = sym_np.shape[0]
             y_str = [rans_encode_with_indexes(
-                sym_flat, idx_flat, self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset)]
+                sym_np.transpose(0, 3, 1, 2).reshape(n, -1)[0],
+                idx_np.transpose(0, 3, 1, 2).reshape(n, -1)[0],
+                self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                self.codec_y.offset)]
         else:
-            indexes = self.codec_y.build_indexes(y_scale)
-            y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
+            y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
+                self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
+            y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
+            y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
+            pred_y_bit = float(-np.log2(np.maximum(y_lik, 1e-12)).sum())
+            timing["entropy_params_s"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            if self._is_checkerboard:
+                # decode-order serialization: per slice anchors, non-anchors
+                sym = np.round(y_np - y_mean).astype(np.int32)
+                idx = self.codec_y.build_indexes(y_scale)
+                sym_flat = _checkerboard_serialize(sym, self.num_slices)
+                idx_flat = _checkerboard_serialize(idx, self.num_slices)
+                y_str = [rans_encode_with_indexes(
+                    sym_flat, idx_flat, self.codec_y.quantized_cdf,
+                    self.codec_y.cdf_length, self.codec_y.offset)]
+            else:
+                indexes = self.codec_y.build_indexes(y_scale)
+                y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
         timing["y_entropy_s"] = _time.perf_counter() - t0
 
         if self.use_rate:
@@ -439,7 +466,6 @@ class BaseModel:
             header = self.header_handler.encode((H, W), y_hat_np)
 
         num_pixel = H * W
-        pred_y_bit = float(-np.log2(np.maximum(y_lik, 1e-12)).sum())
         pred_z_bit = float(-np.log2(np.maximum(z_likelihood, 1e-12)).sum())
 
         return {
