@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .conv import Conv2d, ConvTranspose2d, pixel_shuffle
