@@ -483,6 +483,8 @@ class BaseModel:
 
     def decompress(self, string_list: List[bytes],
                    beta: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import time as _time
+
         assert len(string_list) == 3, \
             f"string list must be [header, z, y], got {len(string_list)}"
         header, z_str, y_str = string_list
@@ -492,13 +494,16 @@ class BaseModel:
         padH = math.ceil(H / self.model_stride) * self.model_stride
         padW = math.ceil(W / self.model_stride) * self.model_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
-        yH, yW = padH // self.y_stride, padW // self.y_stride
 
+        timing = {}
+        t0 = _time.perf_counter()
         z_sym = self.codec_z.decompress([z_str], (zH, zW))
         z_hat = self.codec_z.dequantize(z_sym)
         hyper_out = self._codec_fn("hyper_decode")(self.params,
                                                    jnp.asarray(z_hat))
+        timing["z_hyper_s"] = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         if self._is_checkerboard:
             y_hat = self._checkerboard_decompress(y_str, hyper_out)
         elif self.use_charm:
@@ -508,12 +513,16 @@ class BaseModel:
             means, scales = np.split(hyper_np, 2, axis=-1)
             indexes = self.codec_y.build_indexes(scales)
             y_hat = self.codec_y.decompress([y_str], indexes, means=means)
+        timing["y_entropy_decode_s"] = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         ri = jnp.asarray([float(rate_ind)], jnp.float32) if self.use_rate else None
         bt = jnp.asarray([float(beta)], jnp.float32) if self.use_beta else None
         fake = self._codec_fn("decode_image")(self.params, jnp.asarray(y_hat),
                                               ri, bt)
         fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        timing["synthesis_transform_s"] = _time.perf_counter() - t0
+        self.last_decode_timing = timing
         return fake, z_hat, np.asarray(y_hat)
 
     def _charm_step_fn(self):
