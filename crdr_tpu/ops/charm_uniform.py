@@ -97,9 +97,29 @@ def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
     b2 = jnp.take(packed[f"{kind}2_b"], idx, axis=0)
     w4 = jnp.take(packed[f"{kind}4_w"], idx, axis=0)
     b4 = jnp.take(packed[f"{kind}4_b"], idx, axis=0)
+    if actv == "relu" and x.shape[0] == 1 and _fused_enabled(x):
+        from .pallas_slice_transform import pallas_slice_transform
+
+        return pallas_slice_transform(x, w0, b0, w2, b2, w4, b4)
     x = act(_conv(x, w0, b0, 2))
     x = act(_conv(x, w2, b2, 2))
     return _conv(x, w4, b4, 1)
+
+
+def _fused_enabled(x: Array) -> bool:
+    """Opt-in fused VMEM kernel (CRDR_PALLAS=1, TPU, latent fits VMEM)."""
+    import os
+
+    if os.environ.get("CRDR_PALLAS", "0") != "1":
+        return False
+    from .pallas_slice_transform import fits_fused
+
+    if not fits_fused(x.shape[1], x.shape[2]):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
 
 
 def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
