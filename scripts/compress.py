@@ -50,7 +50,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     if args.device:
-        os.environ.setdefault("JAX_PLATFORMS", args.device)
+        os.environ["JAX_PLATFORMS"] = args.device
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     logger = get_root_logger()
     from crdr_tpu.runtime.cache import enable_compilation_cache
 

@@ -19,7 +19,10 @@ from crdr_tpu.utils.path import PathHandler
 def main(argv=None):
     opt = get_train_config(argv)
     if opt.get("device"):
-        os.environ.setdefault("JAX_PLATFORMS", opt.device)
+        os.environ["JAX_PLATFORMS"] = opt.device
+        import jax
+
+        jax.config.update("jax_platforms", opt.device)
     ph = PathHandler(opt.ckpt_root, opt.exp)
     ph.make_job_dir()
     from crdr_tpu.runtime.cache import enable_compilation_cache
