@@ -49,11 +49,19 @@ class BaseModel:
     use_rate = False
     use_beta = False
     use_charm = False
-    stride = 64
+    stride = 64  # pad stride; overridden by the shape_bucket option
 
     def __init__(self, opt):
         self.opt = opt
         self.logger = get_root_logger()
+        # Shape bucketing: eval/codec inputs pad to a multiple of
+        # `shape_bucket` (>= the model stride 64).  Larger buckets bound the
+        # number of distinct compiled programs on mixed-size datasets
+        # (CLIC/DIV2K) at a small padding-bpp cost; 64 == reference behavior.
+        bucket = int(opt.get("shape_bucket", 64) if hasattr(opt, "get") else 64)
+        assert bucket % 64 == 0 and bucket > 0, \
+            "shape_bucket must be a positive multiple of 64"
+        self.stride = bucket
         subnet_opt = opt.subnet.to_dict() if isinstance(opt.subnet, ConfigDict) \
             else dict(opt.subnet)
         # CompressAI-compat [0,1] range option (reference base_model.py:22-27)
@@ -491,8 +499,10 @@ class BaseModel:
         hd = self.header_handler.decode(header)
         H, W = hd["img_size"]
         rate_ind = hd.get("rate_ind")
-        padH = math.ceil(H / self.model_stride) * self.model_stride
-        padW = math.ceil(W / self.model_stride) * self.model_stride
+        # pad geometry must mirror data_preprocess (incl. shape bucketing);
+        # the latent grid itself is always /model_stride
+        padH = math.ceil(H / self.stride) * self.stride
+        padW = math.ceil(W / self.stride) * self.stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
 
         timing = {}
