@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--decompress", action="store_true")
     p.add_argument("-d", "--device", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shape_bucket", type=int, default=None,
+                   help="pad images to multiples of this (>=64, multiple of "
+                        "64) to bound compile count on mixed-size datasets")
     return p.parse_args(argv)
 
 
@@ -60,6 +63,8 @@ def main(argv=None):
     enable_compilation_cache()
     cfg = Config.from_file(args.config_path)
     cfg["is_train"] = False
+    if args.shape_bucket:
+        cfg["shape_bucket"] = args.shape_bucket
 
     model = build_comp_model(cfg)
     if args.model_path:
