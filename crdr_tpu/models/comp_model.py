@@ -311,7 +311,7 @@ class BaseModel:
                     indexes = dev_indexes(sigma, table, bound)
                     lik = gaussian_likelihood(symbols.astype(jnp.float32),
                                               sigma, bound)
-                    pred_bits = -jnp.sum(jnp.log2(lik))
+                    pred_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
                     maxabs = jnp.max(jnp.abs(y_hat))
                     return symbols, indexes, y_hat, pred_bits, maxabs
             else:
@@ -391,14 +391,30 @@ class BaseModel:
 
     # ---------------- compress / decompress ---------------------------------
 
+    def compress_batch(self, real_images,
+                       rate_ind: Union[float, int, None] = None) -> List[Dict]:
+        """Batched encode: one device pass for N same-size images, per-image
+        host rANS.  Throughput extension over the reference's batch-1-only
+        compress (hyperprior_model.py:141); used for the DIV2K batch config."""
+        real_images = np.asarray(real_images)
+        out = self._compress_impl(real_images, rate_ind)
+        return out if isinstance(out, list) else [out]
+
     def compress(self, real_images, rate_ind: Union[float, int, None] = None
                  ) -> Dict:
-        assert self.codec_z is not None, "call codec_setup() first"
         real_images = np.asarray(real_images)
         if real_images.ndim == 3:
             real_images = real_images[None]
+        assert real_images.shape[0] == 1, \
+            f"compress expects batch size 1, got {real_images.shape[0]} " \
+            "(use compress_batch)"
+        return self._compress_impl(real_images, rate_ind)
+
+    def _compress_impl(self, real_images, rate_ind):
+        assert self.codec_z is not None, "call codec_setup() first"
+        if real_images.ndim == 3:
+            real_images = real_images[None]
         N, H, W, _ = real_images.shape
-        assert N == 1, f"compress expects batch size 1, got {N}"
         x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
 
         import time as _time
@@ -433,23 +449,24 @@ class BaseModel:
             sym_np = np.asarray(symbols)
             idx_np = np.asarray(indexes)
             y_hat_np = np.asarray(y_hat)
-            pred_y_bit = float(pred_bits)
+            pred_y_bits = np.asarray(pred_bits).reshape(-1)
             y_lik = None
             timing["entropy_params_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
-            n = sym_np.shape[0]
+            sym_flat = sym_np.transpose(0, 3, 1, 2).reshape(N, -1)
+            idx_flat = idx_np.transpose(0, 3, 1, 2).reshape(N, -1)
             y_str = [rans_encode_with_indexes(
-                sym_np.transpose(0, 3, 1, 2).reshape(n, -1)[0],
-                idx_np.transpose(0, 3, 1, 2).reshape(n, -1)[0],
-                self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                self.codec_y.offset)]
+                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+                self.codec_y.cdf_length, self.codec_y.offset)
+                for i in range(N)]
         else:
             y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
                 self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
             y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
             y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
-            pred_y_bit = float(-np.log2(np.maximum(y_lik, 1e-12)).sum())
+            pred_y_bits = -np.log2(np.maximum(y_lik, 1e-12)) \
+                .sum(axis=(1, 2, 3))
             timing["entropy_params_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
@@ -457,37 +474,40 @@ class BaseModel:
                 # decode-order serialization: per slice anchors, non-anchors
                 sym = np.round(y_np - y_mean).astype(np.int32)
                 idx = self.codec_y.build_indexes(y_scale)
-                sym_flat = _checkerboard_serialize(sym, self.num_slices)
-                idx_flat = _checkerboard_serialize(idx, self.num_slices)
                 y_str = [rans_encode_with_indexes(
-                    sym_flat, idx_flat, self.codec_y.quantized_cdf,
-                    self.codec_y.cdf_length, self.codec_y.offset)]
+                    _checkerboard_serialize(sym[i:i + 1], self.num_slices),
+                    _checkerboard_serialize(idx[i:i + 1], self.num_slices),
+                    self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                    self.codec_y.offset) for i in range(N)]
             else:
                 indexes = self.codec_y.build_indexes(y_scale)
                 y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
         timing["y_entropy_s"] = _time.perf_counter() - t0
 
-        if self.use_rate:
-            header = self.header_handler.encode((H, W), y_hat_np,
-                                                rate_ind=float(rate_ind))
-        else:
-            header = self.header_handler.encode((H, W), y_hat_np)
-
         num_pixel = H * W
-        pred_z_bit = float(-np.log2(np.maximum(z_likelihood, 1e-12)).sum())
+        pred_z_bits = -np.log2(np.maximum(z_likelihood, 1e-12)) \
+            .sum(axis=(1, 2, 3))
 
-        return {
-            "string_list": [header, z_str[0], y_str[0]],
-            "z_hat": z_hat_np,
-            "y_hat": y_hat_np,
-            "z_likelihood": z_likelihood,
-            "y_likelihood": y_lik,
-            "pred_y_bit": pred_y_bit,
-            "pred_y_bpp": pred_y_bit / num_pixel,
-            "pred_z_bit": pred_z_bit,
-            "pred_z_bpp": pred_z_bit / num_pixel,
-            "timing": timing,
-        }
+        results = []
+        for i in range(N):
+            if self.use_rate:
+                header = self.header_handler.encode(
+                    (H, W), y_hat_np[i:i + 1], rate_ind=float(rate_ind))
+            else:
+                header = self.header_handler.encode((H, W), y_hat_np[i:i + 1])
+            results.append({
+                "string_list": [header, z_str[i], y_str[i]],
+                "z_hat": z_hat_np[i:i + 1],
+                "y_hat": y_hat_np[i:i + 1],
+                "z_likelihood": z_likelihood[i:i + 1],
+                "y_likelihood": None if y_lik is None else y_lik[i:i + 1],
+                "pred_y_bit": float(pred_y_bits[i]),
+                "pred_y_bpp": float(pred_y_bits[i]) / num_pixel,
+                "pred_z_bit": float(pred_z_bits[i]),
+                "pred_z_bpp": float(pred_z_bits[i]) / num_pixel,
+                "timing": timing,
+            })
+        return results[0] if N == 1 else results
 
     def decompress(self, string_list: List[bytes],
                    beta: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

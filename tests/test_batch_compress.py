@@ -1,0 +1,31 @@
+"""Batched encode: per-image results must match single-image compression
+exactly (streams, predicted bits), while the device pass runs once."""
+
+import numpy as np
+import pytest
+
+from crdr_tpu.models import build_comp_model
+from tests.test_comp_model import tiny_opt
+
+pytestmark = pytest.mark.slow
+
+
+def test_compress_batch_matches_single():
+    model = build_comp_model(tiny_opt())
+    model.init_params(input_size=64)
+    model.codec_setup()
+    rng = np.random.default_rng(0)
+    batch = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+
+    batched = model.compress_batch(batch, rate_ind=1.0)
+    assert len(batched) == 3
+    for i in range(3):
+        single = model.compress(batch[i:i + 1], rate_ind=1.0)
+        assert batched[i]["string_list"][1] == single["string_list"][1]  # z
+        assert batched[i]["string_list"][2] == single["string_list"][2]  # y
+        assert batched[i]["pred_y_bit"] == pytest.approx(
+            single["pred_y_bit"], rel=1e-5)
+        # each batched stream decodes standalone
+        fake, _, y_hat = model.decompress(batched[i]["string_list"], beta=0.0)
+        np.testing.assert_allclose(y_hat, batched[i]["y_hat"], rtol=1e-4,
+                                   atol=1e-4)
