@@ -177,7 +177,7 @@ class BaseModel:
             net = self.net
             prec = None if is_train else self.codec_precision
 
-            def fn(params, x, rate_ind, beta, rng):
+            def fn(params, x, rate_ind, beta, rng, num_pixel):
                 kw = {}
                 if self.use_rate:
                     kw["rate_ind"] = rate_ind
@@ -186,7 +186,9 @@ class BaseModel:
                 with _precision_scope(prec):
                     out = net.apply({"params": params}, x, is_train=is_train,
                                     rng=rng, **kw)
-                num_pixel = x.shape[1] * x.shape[2]
+                # bpp divides by the ORIGINAL pixel count, not the padded one
+                # (reference run_model takes num_pixel before preprocessing,
+                # hyperprior_model.py:40-41) — passed as a traced scalar
                 summary = _rate_summary(out, num_pixel)
                 return out, summary
 
@@ -194,12 +196,16 @@ class BaseModel:
         return self._jit_cache[key]
 
     def forward(self, real_images, rate_ind=None, beta=None,
-                is_train: bool = True):
+                is_train: bool = True, num_pixel: Optional[int] = None):
         fn = self._forward_fn(is_train)
         rng = self.next_rng() if is_train else jax.random.PRNGKey(0)
         ri = None if rate_ind is None else jnp.asarray([rate_ind], jnp.float32)
         bt = None if beta is None else jnp.asarray([beta], jnp.float32)
-        return fn(self.params, jnp.asarray(real_images), ri, bt, rng)
+        x = jnp.asarray(real_images)
+        if num_pixel is None:
+            num_pixel = x.shape[1] * x.shape[2]
+        return fn(self.params, x, ri, bt, rng,
+                  jnp.asarray(num_pixel, jnp.float32))
 
     def run_model(self, real_images, rate_ind=None, beta=None,
                   is_train: bool = True) -> Dict:
@@ -216,7 +222,8 @@ class BaseModel:
                 raise ValueError('"beta" must be specified if is_train=False')
             beta = self.sample_beta()
 
-        out, summary = self.forward(x, rate_ind, beta, is_train)
+        out, summary = self.forward(x, rate_ind, beta, is_train,
+                                    num_pixel=H * W)
         real_out, fake_out = self.data_postprocess(
             x, out["fake_images"], size=(H, W), is_train=is_train)
         result = dict(

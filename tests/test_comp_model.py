@@ -86,6 +86,25 @@ def test_eval_forward_pads_and_crops(flagship):
     assert out["fake_images"].min() >= -1.0 and out["fake_images"].max() <= 1.0
 
 
+def test_eval_bpp_uses_original_pixel_count(flagship):
+    """Reference contract: bpp divides by the ORIGINAL HxW, not the padded
+    one (hyperprior_model.py:40-41) — the padded image is 64x128 here."""
+    model = flagship
+    x = np.random.default_rng(6).uniform(-1, 1, (1, 50, 70, 3)) \
+        .astype(np.float32)
+    padded = model.data_preprocess(x, is_train=False)
+    assert padded.shape[1:3] == (64, 128)
+    _, s_orig = model.forward(padded, 1.0, 2.56, is_train=False,
+                              num_pixel=50 * 70)
+    _, s_pad = model.forward(padded, 1.0, 2.56, is_train=False,
+                             num_pixel=64 * 128)
+    ratio = float(np.asarray(s_orig["bpp"])[0] / np.asarray(s_pad["bpp"])[0])
+    assert ratio == pytest.approx((64 * 128) / (50 * 70), rel=1e-5)
+    out = model.run_model(x, rate_ind=1.0, beta=2.56, is_train=False)
+    np.testing.assert_allclose(np.asarray(out["bpp"]),
+                               np.asarray(s_orig["bpp"]), rtol=1e-5)
+
+
 def test_compress_decompress_roundtrip(flagship):
     """The fundamental codec invariant: decode(encode(x)) reproduces the
     encoder-side y_hat/z_hat exactly, and bitstream sizes track predictions."""

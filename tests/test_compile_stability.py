@@ -22,7 +22,8 @@ def test_forward_no_retrace_across_control_grid():
     fn = model._forward_fn(is_train=False)
     for q, b in [(0.0, 0.0), (1.5, 2.56), (2.0, 5.12), (0.25, 3.84)]:
         fn(model.params, jnp.asarray(x), jnp.asarray([q], jnp.float32),
-           jnp.asarray([b], jnp.float32), jax.random.PRNGKey(0))
+           jnp.asarray([b], jnp.float32), jax.random.PRNGKey(0),
+           jnp.asarray(64 * 64, jnp.float32))
     assert fn._cache_size() == 1, \
         "rate_ind/beta must be traced scalars, not compile-time constants"
 
