@@ -220,10 +220,10 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
                                                  state.aux_opt_state)
 
             # ---------------- D step ----------------
+            # (the HRRGAN anchor is G-side only; D always sees true images —
+            # reference multirate_hr_rgan_..._trainer.py:85-113)
             fake_sg = jax.lax.stop_gradient(out["fake_images"])
             y_hat_sg = jax.lax.stop_gradient(out["quantized_code"]["y"])
-            d_real_anchor = anchor if self._beta_weighting() or \
-                self.adv_mode != "vanilla" else batch
 
             def d_loss_fn(d_params):
                 real_pred, stats1 = self._d_apply(d_params, state.d_stats,
