@@ -120,7 +120,12 @@ class BaseModel:
         with ctx:
             variables = self.net.init({"params": rng}, x, is_train=False,
                                       **self._dummy_args())
-        self.params = jax.device_put(variables["params"])
+        # The init trace ran with CPU as the default device, so the drawn
+        # arrays are committed to host memory; without an explicit target,
+        # device_put leaves them there and EVERY subsequent jitted call
+        # re-uploads the full 0.5GB f32 weight set through the host link.
+        # Pin the weights to the accelerator once, here.
+        self.params = jax.device_put(variables["params"], jax.devices()[0])
         return self.params
 
     def next_rng(self) -> Array:
@@ -600,8 +605,14 @@ class BaseModel:
         table = jnp.asarray(self.codec_y.scale_table, jnp.float32)
         step = self._charm_step_fn()
         sup_w = self.max_support_slices * sc
-        support = jnp.zeros((n, h, w, sup_w), hyper_mean.dtype)
-        zeros = jnp.zeros((n, h, w, sc), hyper_mean.dtype)
+        # Commit the initial buffers to the same device as the step outputs
+        # that replace them on later iterations — otherwise iteration 0
+        # (uncommitted zeros) and iterations 1+ (committed step outputs) have
+        # different placement signatures and the step program compiles twice.
+        dev = jax.devices()[0]
+        support = jax.device_put(
+            jnp.zeros((n, h, w, sup_w), hyper_mean.dtype), dev)
+        zeros = jax.device_put(jnp.zeros((n, h, w, sc), hyper_mean.dtype), dev)
 
         decoder = RansStreamDecoder(y_str)
         y_hat_slices: List[Array] = []
@@ -619,9 +630,9 @@ class BaseModel:
                     dec = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
                                          self.codec_y.cdf_length,
                                          self.codec_y.offset)
-                    sym = jnp.asarray(
+                    sym = jax.device_put(
                         dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
-                        .astype(np.float32))
+                        .astype(np.float32), dev)
                     mu = mu_next
         finally:
             decoder.close()
@@ -779,7 +790,9 @@ class BaseModel:
         return {"params": jax.device_get(self.params)}
 
     def load_state_dict(self, state: Dict) -> None:
-        self.params = jax.device_put(state["params"])
+        # Explicit placement: loaded pytrees are host numpy; without a target
+        # they'd stay host-committed and re-upload on every jitted call.
+        self.params = jax.device_put(state["params"], jax.devices()[0])
 
     def load_learned_weight(self, ckpt_path: str) -> None:
         """Load a checkpoint saved by this framework, or import a reference
@@ -787,7 +800,8 @@ class BaseModel:
         if ckpt_path.endswith((".pth", ".pth.tar", ".pt")):
             from ..importers.torch_import import import_reference_checkpoint
 
-            self.params = import_reference_checkpoint(ckpt_path, self)
+            self.params = jax.device_put(
+                import_reference_checkpoint(ckpt_path, self), jax.devices()[0])
         else:
             from ..utils.saver import load_pytree
 
