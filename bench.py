@@ -44,7 +44,9 @@ def main():
     model = _flagship_model(tiny=False)
     model.codec_setup()
     rng = np.random.default_rng(0)
-    img = rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32)
+    # uint8 pixels: the real codec input (decoded PNG), and the dtype the
+    # uint8-wire fast path ships to the device
+    img = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
 
     print("bench: warmup/compile...", file=sys.stderr, flush=True)
     run_pipeline(model, img)

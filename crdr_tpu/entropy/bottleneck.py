@@ -246,14 +246,19 @@ class EntropyBottleneckCodec:
 
     def compress(self, z: np.ndarray) -> list:
         """z: NHWC float. Returns one bytestring per batch element."""
+        med = self.medians()
+        symbols = np.round(z - med[None, None, None, :]).astype(np.int32)
+        return self.compress_symbols(symbols)
+
+    def compress_symbols(self, symbols: np.ndarray) -> list:
+        """Entropy-code pre-rounded centered symbols (int NHWC) — the fused
+        device encode already subtracts the medians and rounds on device."""
         from ..runtime import rans_encode_with_indexes
 
         assert self.quantized_cdf is not None, "call update() first"
-        n, h, w, c = z.shape
-        med = self.medians()
-        symbols = np.round(z - med[None, None, None, :]).astype(np.int32)
+        n, h, w, c = symbols.shape
         # channel-major serialization (CompressAI NCHW layout parity)
-        symbols = symbols.transpose(0, 3, 1, 2).reshape(n, -1)
+        symbols = symbols.astype(np.int32).transpose(0, 3, 1, 2).reshape(n, -1)
         indexes = np.broadcast_to(
             np.arange(c, dtype=np.int32)[:, None], (c, h * w)).reshape(-1)
         return [

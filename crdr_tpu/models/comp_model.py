@@ -35,7 +35,8 @@ from ..entropy import (EntropyBottleneckCodec, GaussianConditionalCodec,
                        get_scale_table)
 from ..utils.codec_utils import HeaderHandler, MultiRateHeaderHandler
 from ..utils.config import ConfigDict
-from ..utils.img_utils import calc_ms_ssim, calc_psnr, crop_image, pad_image
+from ..utils.img_utils import (calc_ms_ssim, calc_psnr, crop_image, pad_image,
+                               uint8_to_tensor)
 from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
 from .net import CompNet
@@ -67,6 +68,15 @@ class BaseModel:
         # CompressAI-compat [0,1] range option (reference base_model.py:22-27)
         self.convert_img_range = bool(opt.get("convert_img_range_to_01", False)
                                       if hasattr(opt, "get") else False)
+        # uint8 wire I/O for the codec path: accept uint8 pixel inputs and
+        # produce uint8 reconstructions ON DEVICE, quartering the host<->
+        # device image transfers.  The uint8->float conversion matches
+        # img_utils.uint8_to_tensor bit-for-bit (pure f32 ops), so the
+        # bitstream is identical to the float-input path; the output is
+        # quantized to the uint8 grid, which is what every reference metric
+        # (uint8-round PSNR/MS-SSIM) measures anyway.
+        self.codec_uint8_io = bool(opt.get("codec_uint8_io", False)
+                                   if hasattr(opt, "get") else False)
         self.net = CompNet(subnet_opt, use_rate=self.use_rate,
                            use_beta=self.use_beta, use_charm=self.use_charm,
                            img_range_01=self.convert_img_range)
@@ -176,6 +186,20 @@ class BaseModel:
         return self.opt.get("codec_precision", "highest") \
             if hasattr(self.opt, "get") else "highest"
 
+    @property
+    def transform_precision(self) -> str:
+        """Matmul precision for the analysis/synthesis transforms on the
+        codec path.  These are side-local (the encoder only runs at encode
+        time, the decoder only at decode time), so unlike the hyper-decoder
+        + context-model chain they need no encode/decode bitwise agreement —
+        a lower precision here can never corrupt the bitstream, it only
+        perturbs y (encode) or the reconstruction (decode).  Defaults to
+        ``codec_precision``; set ``transform_precision: default`` for ~25%
+        faster transforms with rate parity intact."""
+        if hasattr(self.opt, "get"):
+            return self.opt.get("transform_precision", self.codec_precision)
+        return self.codec_precision
+
     def _forward_fn(self, is_train: bool):
         key = f"forward_{is_train}"
         if key not in self._jit_cache:
@@ -264,6 +288,13 @@ class BaseModel:
         self.y_stride = 16
         self.model_stride = 64
 
+        # device-resident codec constants: re-uploading them per call costs
+        # an RTT each on a remote-attached accelerator
+        self._dev = jax.devices()[0]
+        self._table_dev = jax.device_put(
+            np.asarray(self.codec_y.scale_table, np.float32), self._dev)
+        self._scalar_cache: Dict[Tuple[str, float], Array] = {}
+
         self._charm_packed = None
         if self.use_charm and self.context_type == "Minnen20CharmContextModel":
             from ..ops.charm_uniform import pack_charm_weights
@@ -272,7 +303,16 @@ class BaseModel:
             packed = pack_charm_weights(
                 self.params["context_model"], self.num_slices, self.slice_ch,
                 cm_opt["hyper_out_ch"] // 2, self.max_support_slices)
-            self._charm_packed = {k: jnp.asarray(v) for k, v in packed.items()}
+            self._charm_packed = {k: jax.device_put(v, self._dev)
+                                  for k, v in packed.items()}
+
+    def _dev_scalar(self, kind: str, value: float) -> Array:
+        """Cached device-resident [1]-shaped f32 scalar (rate_ind / beta)."""
+        key = (kind, float(value))
+        if key not in self._scalar_cache:
+            self._scalar_cache[key] = jax.device_put(
+                np.asarray([float(value)], np.float32), self._dev)
+        return self._scalar_cache[key]
 
     def _codec_fn(self, name: str):
         """Jitted codec-path programs, created lazily.  All traced under the
@@ -288,49 +328,86 @@ class BaseModel:
                 return net.apply({"params": params}, x,
                                  method=lambda n, xx, rate_ind=None:
                                  n.encode_latents(xx, rate_ind), **kw)
+        elif name == "encode_full":
+            # the ENTIRE encode side as ONE device program: analysis +
+            # hyper-analysis transforms, z hard-round around the medians,
+            # hyper-decode, the whole num_slices-step Charm autoregressive
+            # pass (shape-uniform lax.scan, ops/charm_uniform.py), rANS
+            # symbols/indexes, and the predicted bit counts.  The host gets
+            # everything it needs for entropy coding in two small transfers
+            # (one packed int16 array for y, one for z) instead of the
+            # 3-dispatch/6-transfer pipeline this replaces — on a remote-
+            # attached TPU each synchronous fetch costs a full RTT.
+            assert self.use_charm and self.context_type == \
+                "Minnen20CharmContextModel"
+            from ..entropy.gaussian import build_indexes as dev_indexes
+            from ..entropy.gaussian import gaussian_likelihood
+            from ..ops.charm_uniform import uniform_encode_scan
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+            tprec = self.transform_precision
+
+            # NOTE: the packed weight stacks are threaded through the
+            # params pytree (traced args) — closing over them would embed
+            # ~100MB of literals into the HLO
+            convert01 = self.convert_img_range
+
+            def fn(params, x, rate_ind, table):
+                p, packed = params["net"], params["packed"]
+                if x.dtype == jnp.uint8:
+                    # device-side uint8_to_tensor (bit-identical f32 ops)
+                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+                    if convert01:  # data_preprocess: [-1,1] -> [0,1]
+                        x = (x + 1.0) / 2.0
+                with _precision_scope(tprec):
+                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
+                    y, z = net.apply({"params": p}, x,
+                                     method=lambda n, xx, rate_ind=None:
+                                     n.encode_latents(xx, rate_ind), **kw)
+                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_sym = jnp.round(z - med)
+                z_hat = z_sym + med
+                z_lik = net.apply({"params": p}, z,
+                                  method=lambda n, zz: n.z_likelihood_eval(zz))
+                hyper_out = net.apply({"params": p}, z_hat,
+                                      method=lambda n, zz: n.hyper_decode(zz))
+                hm, hs = jnp.split(hyper_out, 2, axis=-1)
+                mu, sigma, y_hat = uniform_encode_scan(
+                    packed, y, hm, hs, ns, sc, msup, actv)
+                symbols = jnp.round(y - mu)
+                indexes = dev_indexes(sigma, table, bound)
+                lik = gaussian_likelihood(symbols, sigma, bound)
+                pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
+                pred_z_bits = -jnp.sum(
+                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
+                maxabs = jnp.max(jnp.abs(y_hat))
+                # EVERYTHING the host entropy coder needs rides home in ONE
+                # int16 array — on a remote-attached TPU every separate
+                # fetch pays a full RTT, so y symbols + cdf indexes (small
+                # ints), z symbols, and the f32 scalars (bitcast to int16
+                # pairs) are flattened into a single wire vector
+                nb = symbols.shape[0]
+                meta = jnp.stack(
+                    [pred_y_bits, pred_z_bits,
+                     jnp.broadcast_to(maxabs, pred_y_bits.shape)], axis=1)
+                meta16 = jax.lax.bitcast_convert_type(
+                    meta, jnp.int16).reshape(nb, -1)
+                wire = jnp.concatenate(
+                    [symbols.astype(jnp.int16).reshape(nb, -1),
+                     indexes.astype(jnp.int16).reshape(nb, -1),
+                     z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
+                return wire, y_hat, z_hat
         elif name == "compress_params":
-            if self.use_charm and self.context_type == \
-                    "Minnen20CharmContextModel":
-                # single-scan charm encode: hyper-decode + the whole 10-slice
-                # autoregressive pass + likelihoods in ONE program with a
-                # shape-uniform scan body (ops/charm_uniform.py)
-                from ..entropy.gaussian import gaussian_likelihood
-                from ..ops.charm_uniform import uniform_encode_scan
-
-                cm_opt = self.net.subnet_opt["context_model"]
-                actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
-                    .get("actv", "relu")
-                bound = self.codec_y.scale_bound
-                ns, sc, msup = (self.num_slices, self.slice_ch,
-                                self.max_support_slices)
-
-                # NOTE: the packed weight stacks are threaded through the
-                # params pytree (traced args) — closing over them would embed
-                # ~100MB of literals into the HLO
-                from ..entropy.gaussian import build_indexes as dev_indexes
-
-                def fn(params, y, z_hat, table):
-                    # returns everything the host coder needs with minimal
-                    # transfer: int32 symbols + indexes, max|y_hat|, pred bits
-                    params, packed = params["net"], params["packed"]
-                    hyper_out = net.apply(
-                        {"params": params}, z_hat,
-                        method=lambda n, zz: n.hyper_decode(zz))
-                    hm, hs = jnp.split(hyper_out, 2, axis=-1)
-                    mu, sigma, y_hat = uniform_encode_scan(
-                        packed, y, hm, hs, ns, sc, msup, actv)
-                    symbols = jnp.round(y - mu).astype(jnp.int32)
-                    indexes = dev_indexes(sigma, table, bound)
-                    lik = gaussian_likelihood(symbols.astype(jnp.float32),
-                                              sigma, bound)
-                    pred_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
-                    maxabs = jnp.max(jnp.abs(y_hat))
-                    return symbols, indexes, y_hat, pred_bits, maxabs
-            else:
-                def fn(params, y, z_hat):
-                    return net.apply(
-                        {"params": params}, y, z_hat,
-                        method=lambda n, yy, zz: n.compress_params(yy, zz))
+            def fn(params, y, z_hat):
+                return net.apply(
+                    {"params": params}, y, z_hat,
+                    method=lambda n, yy, zz: n.compress_params(yy, zz))
         elif name == "z_likelihood":
             def fn(params, z):
                 return net.apply({"params": params}, z,
@@ -340,16 +417,89 @@ class BaseModel:
                 return net.apply({"params": params}, z_hat,
                                  method=lambda n, zz: n.hyper_decode(zz))
         elif name == "decode_image":
+            tprec = self.transform_precision
+
             def fn(params, y_hat, rate_ind, beta):
                 kw = {}
                 if self.use_rate:
                     kw["rate_ind"] = rate_ind
                 if self.use_beta:
                     kw["beta"] = beta
-                img = net.apply({"params": params}, y_hat,
-                                method=lambda n, yy, rate_ind=None, beta=None:
-                                n.decode(yy, rate_ind, beta), **kw)
+                with _precision_scope(tprec):
+                    img = net.apply({"params": params}, y_hat,
+                                    method=lambda n, yy, rate_ind=None,
+                                    beta=None:
+                                    n.decode(yy, rate_ind, beta), **kw)
                 return jnp.clip(img, -1.0, 1.0)
+        elif name == "decode_begin":
+            # fused decode bootstrap: z dequantize + hyper-decode + the
+            # slice-0 entropy params/indexes in ONE dispatch
+            from ..ops.charm_uniform import uniform_decode_step
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+
+            def fn(params, z_sym, table):
+                p, packed = params["net"], params["packed"]
+                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_hat = z_sym.astype(jnp.float32) + med
+                hyper_out = net.apply({"params": p}, z_hat,
+                                      method=lambda n, zz: n.hyper_decode(zz))
+                hm, hs = jnp.split(hyper_out, 2, axis=-1)
+                n_, h_, w_ = hm.shape[:3]
+                support0 = jnp.zeros((n_, h_, w_, msup * sc), hm.dtype)
+                zeros = jnp.zeros((n_, h_, w_, sc), hm.dtype)
+                _, support, mu0, idx0 = uniform_decode_step(
+                    packed, jnp.int32(0), hm, hs, support0, zeros, zeros,
+                    table, bound, ns, sc, msup, actv)
+                return hm, hs, support, mu0, idx0.astype(jnp.uint8), z_hat
+        elif name == "decode_final":
+            # fused tail: final slice reconstruction + full-latent concat +
+            # synthesis transform in ONE dispatch
+            from ..ops.charm_uniform import uniform_reconstruct_last
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            ns = self.num_slices
+            tprec = self.transform_precision
+
+            uint8_io = self.codec_uint8_io
+            convert01 = self.convert_img_range
+
+            def fn(params, hyper_mean, support_buf, sym_prev, mu_prev,
+                   y_slices, rate_ind, beta):
+                p, packed = params["net"], params["packed"]
+                y_last = uniform_reconstruct_last(
+                    packed, hyper_mean, support_buf, sym_prev, mu_prev, ns,
+                    actv)
+                y_hat = jnp.concatenate(list(y_slices) + [y_last], axis=-1)
+                kw = {}
+                if self.use_rate:
+                    kw["rate_ind"] = rate_ind
+                if self.use_beta:
+                    kw["beta"] = beta
+                with _precision_scope(tprec):
+                    img = net.apply({"params": p}, y_hat,
+                                    method=lambda n, yy, rate_ind=None,
+                                    beta=None:
+                                    n.decode(yy, rate_ind, beta), **kw)
+                lo = 0.0 if convert01 else -1.0
+                img = jnp.clip(img, lo, 1.0)
+                if uint8_io:
+                    # device-side tensor_to_uint8 (img_utils.py contract):
+                    # quarters the d2h image transfer
+                    if convert01:
+                        img = img * 2.0 - 1.0
+                    u8 = jnp.clip(jnp.round((img + 1.0) * 127.5), 0, 255) \
+                        .astype(jnp.uint8)
+                    return u8, y_hat
+                return img, y_hat
         else:
             raise KeyError(name)
 
@@ -359,47 +509,6 @@ class BaseModel:
 
         self._jit_cache[name] = jax.jit(wrapped)
         return self._jit_cache[name]
-
-    def _charm_fn(self, kind: str, slice_ind: int):
-        """Fused per-slice jitted programs for the serial Charm decode."""
-        key = f"charm_{kind}_{slice_ind}"
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-        net = self.net
-        bound = self.codec_y.scale_bound
-
-        if kind == "first":
-            def fn(params, slice_idx, hyper_mean, hyper_scale, table):
-                return net.apply(
-                    {"params": params}, hyper_mean, hyper_scale, table,
-                    method=lambda n, hm, hs, tb: n.charm_decode_first(
-                        hm, hs, tb, bound))
-        elif kind == "step":
-            def fn(params, slice_idx, hyper_mean, hyper_scale, support,
-                   sym, mu, table):
-                return net.apply(
-                    {"params": params}, hyper_mean, hyper_scale, support,
-                    sym, mu, table,
-                    method=lambda n, hm, hs, sup, sy, m, tb:
-                    n.charm_decode_step(slice_idx, hm, hs, sup, sy, m, tb,
-                                        bound))
-        elif kind == "last":
-            def fn(params, slice_idx, hyper_mean, support, sym, mu):
-                return net.apply(
-                    {"params": params}, hyper_mean, support, sym, mu,
-                    method=lambda n, hm, sup, sy, m: n.charm_decode_last(
-                        hm, sup, sy, m))
-        else:
-            raise KeyError(kind)
-        prec = self.codec_precision
-
-        def wrapped(params, slice_idx, *args):
-            with _precision_scope(prec):
-                return fn(params, slice_idx, *args)
-
-        jitted = jax.jit(wrapped, static_argnums=1)
-        self._jit_cache[key] = jitted
-        return jitted
 
     # ---------------- compress / decompress ---------------------------------
 
@@ -427,7 +536,19 @@ class BaseModel:
         if real_images.ndim == 3:
             real_images = real_images[None]
         N, H, W, _ = real_images.shape
-        x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
+
+        is_charm = (self.use_charm
+                    and self.context_type == "Minnen20CharmContextModel")
+        if is_charm and self.codec_uint8_io and real_images.dtype == np.uint8:
+            # ship raw uint8 pixels; encode_full converts on device
+            x = jnp.asarray(pad_image(real_images, self.stride))
+        else:
+            if real_images.dtype == np.uint8:
+                real_images = uint8_to_tensor(real_images)
+            x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
+
+        if is_charm:
+            return self._compress_charm(x, N, H, W, rate_ind)
 
         import time as _time
 
@@ -452,48 +573,27 @@ class BaseModel:
         t0 = _time.perf_counter()
         from ..runtime import rans_encode_with_indexes
 
-        if self.use_charm and self.context_type == "Minnen20CharmContextModel":
-            cp_params = {"net": self.params, "packed": self._charm_packed}
-            table = jnp.asarray(self.codec_y.scale_table, jnp.float32)
-            symbols, indexes, y_hat, pred_bits, maxabs = self._codec_fn(
-                "compress_params")(cp_params, jnp.asarray(y_np),
-                                   jnp.asarray(z_hat_np), table)
-            sym_np = np.asarray(symbols)
-            idx_np = np.asarray(indexes)
-            y_hat_np = np.asarray(y_hat)
-            pred_y_bits = np.asarray(pred_bits).reshape(-1)
-            y_lik = None
-            timing["entropy_params_s"] = _time.perf_counter() - t0
+        y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
+            self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
+        y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
+        y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
+        pred_y_bits = -np.log2(np.maximum(y_lik, 1e-12)) \
+            .sum(axis=(1, 2, 3))
+        timing["entropy_params_s"] = _time.perf_counter() - t0
 
-            t0 = _time.perf_counter()
-            sym_flat = sym_np.transpose(0, 3, 1, 2).reshape(N, -1)
-            idx_flat = idx_np.transpose(0, 3, 1, 2).reshape(N, -1)
+        t0 = _time.perf_counter()
+        if self._is_checkerboard:
+            # decode-order serialization: per slice anchors, non-anchors
+            sym = np.round(y_np - y_mean).astype(np.int32)
+            idx = self.codec_y.build_indexes(y_scale)
             y_str = [rans_encode_with_indexes(
-                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset)
-                for i in range(N)]
+                _checkerboard_serialize(sym[i:i + 1], self.num_slices),
+                _checkerboard_serialize(idx[i:i + 1], self.num_slices),
+                self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                self.codec_y.offset) for i in range(N)]
         else:
-            y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
-                self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
-            y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
-            y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
-            pred_y_bits = -np.log2(np.maximum(y_lik, 1e-12)) \
-                .sum(axis=(1, 2, 3))
-            timing["entropy_params_s"] = _time.perf_counter() - t0
-
-            t0 = _time.perf_counter()
-            if self._is_checkerboard:
-                # decode-order serialization: per slice anchors, non-anchors
-                sym = np.round(y_np - y_mean).astype(np.int32)
-                idx = self.codec_y.build_indexes(y_scale)
-                y_str = [rans_encode_with_indexes(
-                    _checkerboard_serialize(sym[i:i + 1], self.num_slices),
-                    _checkerboard_serialize(idx[i:i + 1], self.num_slices),
-                    self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                    self.codec_y.offset) for i in range(N)]
-            else:
-                indexes = self.codec_y.build_indexes(y_scale)
-                y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
+            indexes = self.codec_y.build_indexes(y_scale)
+            y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
         timing["y_entropy_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
@@ -521,6 +621,73 @@ class BaseModel:
             })
         return results[0] if N == 1 else results
 
+    def _compress_charm(self, x, N: int, H: int, W: int, rate_ind):
+        """Charm encode: ONE device dispatch (``encode_full``) + host rANS.
+
+        The host receives the y symbols/indexes as a single packed int16
+        array and the z symbols as int16; y_hat/z_hat stay on device and are
+        returned as lazy device arrays (consumers that need them pay the
+        transfer, the codec hot path doesn't)."""
+        import time as _time
+
+        from ..runtime import rans_encode_with_indexes
+
+        timing = {}
+        t0 = _time.perf_counter()
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        cp_params = {"net": self.params, "packed": self._charm_packed}
+        wire, y_hat, z_hat = self._codec_fn("encode_full")(
+            cp_params, x, ri, self._table_dev)
+        wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
+        timing["device_encode_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        # unflatten the wire vector: y symbols | y indexes | z symbols | meta
+        padH, padW = x.shape[1], x.shape[2]
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        ylen = yH * yW * self.yC
+        zlen = zH * zW * self.zC
+        sym_f, idx_f, z_f, meta16 = np.split(
+            wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
+        # column slices of wire_np are non-contiguous for N > 1
+        meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
+        pred_y_bits, pred_z_bits = meta[:, 0], meta[:, 1]
+        maxabs_np = meta[:, 2]
+        z_sym_np = z_f.reshape(N, zH, zW, self.zC)
+        z_str = self.codec_z.compress_symbols(z_sym_np.astype(np.int32))
+        # channel-major rANS serialization (stream-layout parity)
+        sym_flat = sym_f.reshape(N, yH, yW, self.yC).transpose(0, 3, 1, 2) \
+            .reshape(N, -1).astype(np.int32)
+        idx_flat = idx_f.reshape(N, yH, yW, self.yC).transpose(0, 3, 1, 2) \
+            .reshape(N, -1).astype(np.int32)
+        y_str = [rans_encode_with_indexes(
+            sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+            self.codec_y.cdf_length, self.codec_y.offset) for i in range(N)]
+        timing["host_rans_s"] = _time.perf_counter() - t0
+
+        num_pixel = H * W
+        results = []
+        for i in range(N):
+            if self.use_rate:
+                header = self.header_handler.encode(
+                    (H, W), maxabs_np, rate_ind=float(rate_ind))
+            else:
+                header = self.header_handler.encode((H, W), maxabs_np)
+            results.append({
+                "string_list": [header, z_str[i], y_str[i]],
+                "z_hat": z_hat[i:i + 1],
+                "y_hat": y_hat[i:i + 1],
+                "z_likelihood": None,
+                "y_likelihood": None,
+                "pred_y_bit": float(pred_y_bits[i]),
+                "pred_y_bpp": float(pred_y_bits[i]) / num_pixel,
+                "pred_z_bit": float(pred_z_bits[i]),
+                "pred_z_bpp": float(pred_z_bits[i]) / num_pixel,
+                "timing": timing,
+            })
+        return results[0] if N == 1 else results
+
     def decompress(self, string_list: List[bytes],
                    beta: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import time as _time
@@ -537,6 +704,11 @@ class BaseModel:
         padW = math.ceil(W / self.stride) * self.stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
 
+        if self.use_charm and not self._is_checkerboard and \
+                self.context_type == "Minnen20CharmContextModel":
+            return self._decompress_charm(z_str, y_str, zH, zW, rate_ind,
+                                          beta, H, W)
+
         timing = {}
         t0 = _time.perf_counter()
         z_sym = self.codec_z.decompress([z_str], (zH, zW))
@@ -548,8 +720,6 @@ class BaseModel:
         t0 = _time.perf_counter()
         if self._is_checkerboard:
             y_hat = self._checkerboard_decompress(y_str, hyper_out)
-        elif self.use_charm:
-            y_hat = self._charm_decompress(y_str, hyper_out)
         else:
             hyper_np = np.asarray(hyper_out)
             means, scales = np.split(hyper_np, 2, axis=-1)
@@ -566,6 +736,77 @@ class BaseModel:
         timing["synthesis_transform_s"] = _time.perf_counter() - t0
         self.last_decode_timing = timing
         return fake, z_hat, np.asarray(y_hat)
+
+    def _decompress_charm(self, z_str: bytes, y_str: bytes, zH: int, zW: int,
+                          rate_ind, beta: float, H: int, W: int):
+        """Serial Charm decode with fused ends.
+
+        Dispatch layout (num_slices = S):
+          1. ``decode_begin``: z dequantize + hyper-decode + slice-0 entropy
+             params/indexes — one program;
+          2. S-1 shape-uniform steps (reconstruct slice i-1, params for i),
+             interleaved with the host rANS stream decode;
+          3. ``decode_final``: last slice reconstruction + latent concat +
+             synthesis transform — one program.
+        Indexes travel d2h as uint8 (scale table < 256 entries); symbols
+        ride h2d with the next dispatch.  The serial structure is inherent
+        to Charm (the reference decodes slice-by-slice the same way,
+        minnen20_charm_context_model.py:88-141); the fusing minimizes the
+        per-step host<->device round trips that dominate its latency."""
+        import time as _time
+
+        from ..runtime import RansStreamDecoder
+
+        assert self._charm_packed is not None, "codec_setup() builds weights"
+        timing = {}
+        t0 = _time.perf_counter()
+        z_sym = self.codec_z.decompress([z_str], (zH, zW))
+        cp = {"net": self.params, "packed": self._charm_packed}
+        table = self._table_dev
+        dev = self._dev
+        hm, hs, support, mu, idx, z_hat = self._codec_fn("decode_begin")(
+            cp, jax.device_put(z_sym.astype(np.int16), dev), table)
+        timing["decode_begin_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        n, h, w, sc = mu.shape
+        ns = self.num_slices
+        step = self._charm_step_fn()
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        decoder = RansStreamDecoder(y_str)
+        y_slices: List[Array] = []
+        try:
+            for i in range(ns):
+                idx_cm = np.asarray(idx).astype(np.int32) \
+                    .transpose(0, 3, 1, 2).reshape(-1)
+                dec = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
+                                     self.codec_y.cdf_length,
+                                     self.codec_y.offset)
+                sym = jax.device_put(
+                    dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
+                    .astype(np.float32), dev)
+                if i < ns - 1:
+                    y_prev, support, mu, idx = step(
+                        self._charm_packed, jnp.int32(i + 1), hm, hs,
+                        support, sym, mu, table)
+                    y_slices.append(y_prev)
+                else:
+                    timing["charm_loop_s"] = _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
+                    fake, y_hat = self._codec_fn("decode_final")(
+                        cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
+        finally:
+            decoder.close()
+        fake = np.asarray(fake)
+        if fake.dtype == np.uint8:  # codec_uint8_io: device sent uint8
+            fake = uint8_to_tensor(fake)
+            if self.convert_img_range:
+                fake = (fake + 1.0) / 2.0
+        fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        timing["decode_final_s"] = _time.perf_counter() - t0
+        self.last_decode_timing = timing
+        return fake, z_hat, y_hat
 
     def _charm_step_fn(self):
         """The single shape-uniform Charm decode program (see
@@ -584,59 +825,16 @@ class BaseModel:
         def fn(packed, slice_idx, hyper_mean, hyper_scale, support_buf,
                sym_prev, mu_prev, table):
             with _precision_scope(prec):
-                return uniform_decode_step(
+                y_prev, support, mu, indexes = uniform_decode_step(
                     packed, slice_idx, hyper_mean, hyper_scale, support_buf,
                     sym_prev, mu_prev, table, bound, ns, sc, msup, actv)
+            # indexes go straight to a host fetch; uint8 quarters the d2h
+            # (the scale table has < 256 entries)
+            return y_prev, support, mu, indexes.astype(jnp.uint8)
 
         self._jit_cache["charm_uniform"] = jax.jit(
             fn, donate_argnums=(4,))
         return self._jit_cache["charm_uniform"]
-
-    def _charm_decompress(self, y_str: bytes, hyper_out: Array) -> np.ndarray:
-        """Serial Charm decode: ONE uniform device program per step (slice
-        reconstruction + next entropy params + rANS indexes), interleaved
-        with host rANS decode."""
-        from ..runtime import RansStreamDecoder
-
-        assert self._charm_packed is not None, "codec_setup() builds weights"
-        hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
-        n, h, w, _ = hyper_mean.shape
-        sc = self.slice_ch
-        table = jnp.asarray(self.codec_y.scale_table, jnp.float32)
-        step = self._charm_step_fn()
-        sup_w = self.max_support_slices * sc
-        # Commit the initial buffers to the same device as the step outputs
-        # that replace them on later iterations — otherwise iteration 0
-        # (uncommitted zeros) and iterations 1+ (committed step outputs) have
-        # different placement signatures and the step program compiles twice.
-        dev = jax.devices()[0]
-        support = jax.device_put(
-            jnp.zeros((n, h, w, sup_w), hyper_mean.dtype), dev)
-        zeros = jax.device_put(jnp.zeros((n, h, w, sc), hyper_mean.dtype), dev)
-
-        decoder = RansStreamDecoder(y_str)
-        y_hat_slices: List[Array] = []
-        try:
-            sym, mu = zeros, zeros
-            for i in range(self.num_slices + 1):
-                y_prev, support, mu_next, indexes = step(
-                    self._charm_packed, jnp.int32(i), hyper_mean, hyper_scale,
-                    support, sym, mu, table)
-                if i > 0:
-                    y_hat_slices.append(y_prev)
-                if i < self.num_slices:
-                    idx_cm = np.asarray(indexes).transpose(0, 3, 1, 2) \
-                        .reshape(-1)
-                    dec = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
-                                         self.codec_y.cdf_length,
-                                         self.codec_y.offset)
-                    sym = jax.device_put(
-                        dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
-                        .astype(np.float32), dev)
-                    mu = mu_next
-        finally:
-            decoder.close()
-        return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
 
     def _cb_fn(self, kind: str, slice_ind: int):
         """Per-slice jitted programs for the checkerboard serial decode."""

@@ -152,43 +152,3 @@ class CompNet(nn.Module):
         return self.context_model.slice_lrp(slice_ind, hyper_mean, support,
                                             y_hat_slice)
 
-    def charm_decode_first(self, hyper_mean: Array, hyper_scale: Array,
-                           scale_table: Array, scale_bound: float):
-        """Decode bootstrap: entropy params + rANS indexes for slice 0."""
-        from ..entropy.gaussian import build_indexes
-
-        empty = jnp.zeros(hyper_mean.shape[:3] + (0,), hyper_mean.dtype)
-        mu, sigma = self.context_model.slice_params(0, hyper_mean, hyper_scale,
-                                                    empty)
-        return mu, build_indexes(sigma, scale_table, scale_bound)
-
-    def charm_decode_step(self, slice_ind: int, hyper_mean: Array,
-                          hyper_scale: Array, support_prev: Array,
-                          sym_prev: Array, mu_prev: Array,
-                          scale_table: Array, scale_bound: float):
-        """One fused serial-decode step: reconstruct slice ``slice_ind - 1``
-        from its decoded symbols (dequantize + LRP), grow the support, and
-        emit (mu, rANS indexes) for slice ``slice_ind``.  Halves the
-        host<->device dispatches of the naive two-program-per-slice loop."""
-        from ..entropy.gaussian import build_indexes
-
-        cm = self.context_model
-        y_prev = sym_prev + mu_prev
-        y_prev = cm.slice_lrp(slice_ind - 1, hyper_mean, support_prev, y_prev)
-        max_sup = cm.max_support_slices
-        if max_sup < 0 or support_prev.shape[-1] // cm.slice_ch < max_sup:
-            support_new = jnp.concatenate([support_prev, y_prev], axis=-1)
-        else:
-            support_new = support_prev
-        mu, sigma = cm.slice_params(slice_ind, hyper_mean, hyper_scale,
-                                    support_new)
-        return y_prev, support_new, mu, \
-            build_indexes(sigma, scale_table, scale_bound)
-
-    def charm_decode_last(self, hyper_mean: Array, support_prev: Array,
-                          sym_prev: Array, mu_prev: Array):
-        """Final slice reconstruction (no further entropy params needed)."""
-        cm = self.context_model
-        y_prev = sym_prev + mu_prev
-        return cm.slice_lrp(self.context_model.num_slices - 1, hyper_mean,
-                            support_prev, y_prev)

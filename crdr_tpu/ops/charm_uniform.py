@@ -167,6 +167,22 @@ def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
     return unstack(mus), unstack(sigmas), unstack(y_hats)
 
 
+def uniform_reconstruct_last(packed: Dict[str, Array], hyper_mean: Array,
+                             support_buf: Array, sym_prev: Array,
+                             mu_prev: Array, num_slices: int,
+                             actv: str = "relu") -> Array:
+    """Reconstruct the FINAL slice (dequantize + LRP) with the packed
+    weights and the same padded-input layout as the encode scan body — so
+    the decode-side y_hat is bit-identical to the encoder's.  Used by the
+    fused last-step+synthesis decode program (no entropy params needed
+    after the last slice)."""
+    y_prev = sym_prev + mu_prev
+    lrp_in = jnp.concatenate([hyper_mean, support_buf, y_prev], axis=-1)
+    lrp = 0.5 * jnp.tanh(_slice_transform(
+        packed, "lrp", jnp.int32(num_slices - 1), lrp_in, actv))
+    return y_prev + lrp
+
+
 def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
                         hyper_mean: Array, hyper_scale: Array,
                         support_buf: Array, sym_prev: Array, mu_prev: Array,
