@@ -77,6 +77,7 @@ class BaseTrainer:
         self.path_handler = PathHandler(opt.ckpt_root, opt.exp)
         self.model_saver = Saver(opt.ckpt_root, opt.exp, opt.save_step,
                                  opt.get("keep_step", []))
+        self._setup_mesh()
         self.state = self.init_state()
 
         if opt.start_iter > 0:
@@ -84,6 +85,10 @@ class BaseTrainer:
         if opt.get("load_checkpoint", None):
             lc = dict(opt.load_checkpoint)
             self.load_checkpoint(lc.pop("exp"), lc.pop("iter"), **lc)
+        if self.mesh is not None:
+            # params + optimizer state live replicated on every mesh device;
+            # XLA inserts the gradient all-reduce from the shardings alone.
+            self.state = self._replicate(self.state)
         if opt.get("dry_run"):
             self.print_models()
             raise SystemExit(0)
@@ -108,10 +113,11 @@ class BaseTrainer:
         train_dataset = build_dataset(ds_opt.train_dataset, is_train=True)
         log_dict_items({"batch_size": ds_opt.batch_size,
                         "train_images": len(train_dataset)}, indent=True)
-        self.train_loader = DataLoader(train_dataset,
-                                       batch_size=ds_opt.batch_size,
-                                       shuffle=True, drop_last=True,
-                                       seed=self.opt.get("seed", None))
+        self.train_loader = DataLoader(
+            train_dataset, batch_size=ds_opt.batch_size, shuffle=True,
+            drop_last=True, seed=self.opt.get("seed", None),
+            num_workers=self.opt.get("num_workers", 8),
+            prefetch=self.opt.get("prefetch_batches", 4))
         eval_dataset = build_dataset(ds_opt.eval_dataset, is_train=False)
         self.eval_loader = DataLoader(eval_dataset, batch_size=1)
 
@@ -161,6 +167,52 @@ class BaseTrainer:
 
     def optimize_parameters(self, itr: int, data: Dict) -> Optional[Dict]:
         raise NotImplementedError
+
+    # ------------------ data parallelism ------------------
+    # The reference trains on one device only (README.md:62-63); here
+    # ``n_devices: N`` (config key or --n_devices) runs the SAME jitted step
+    # over a Mesh("data"): batch sharded on the leading dim, params/opt state
+    # replicated, gradient all-reduce inserted by XLA over ICI.
+
+    def _setup_mesh(self) -> None:
+        n = int(self.opt.get("n_devices", 0) or 0)
+        if n <= 1:
+            self.mesh = None
+            self.dp_sharding = None
+            self.rep_sharding = None
+            return
+        from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+        bs = self.opt.dataset.batch_size
+        assert bs % n == 0, \
+            f"batch_size {bs} must be divisible by n_devices {n}"
+        self.mesh = make_mesh(n)
+        self.dp_sharding = batch_sharding(self.mesh)
+        self.rep_sharding = replicated(self.mesh)
+        self.logger.info(
+            f"data-parallel mesh: {n} devices, {bs // n} images/device")
+
+    def _replicate(self, tree):
+        from ..parallel.mesh import replicate_tree
+
+        return replicate_tree(tree, self.mesh)
+
+    def _put_batch(self, batch):
+        batch = jnp.asarray(batch)
+        if self.mesh is None:
+            return batch
+        return jax.device_put(batch, self.dp_sharding)
+
+    def _jit_step(self, step_fn):
+        """jit the fused optimization step.  Under a mesh the signature is
+        (state, batch, rate_ind, beta, rng, mults, loss_consts): state and
+        scalars replicated, batch sharded on the ``data`` axis."""
+        if self.mesh is None:
+            return jax.jit(step_fn, donate_argnums=0)
+        rep, dp = self.rep_sharding, self.dp_sharding
+        return jax.jit(step_fn, donate_argnums=0,
+                       in_shardings=(rep, dp, rep, rep, rep, rep, rep),
+                       out_shardings=(rep, rep))
 
     def next_rng(self):
         self.rng, rng = jax.random.split(self.rng)

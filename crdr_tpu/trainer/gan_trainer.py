@@ -255,7 +255,7 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
                 d_opt_state=new_d_opt, d_stats=new_d_stats)
             return new_state, log
 
-        return jax.jit(step_fn, donate_argnums=0)
+        return self._jit_step(step_fn)
 
     def save(self, current_iter: int) -> None:
         super().save(current_iter)

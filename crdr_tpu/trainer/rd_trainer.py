@@ -105,9 +105,13 @@ class RateDistortionTrainer(BaseTrainer):
         """Frozen loss-network weights (LPIPS features), passed into the
         jitted step as traced args so they never become HLO literals."""
         if not hasattr(self, "_loss_consts_cached"):
-            self._loss_consts_cached = {
-                "lpips": jax.device_put(self.perceptual_loss.variables)
-            } if self.perceptual_loss else {}
+            if self.perceptual_loss:
+                v = self.perceptual_loss.variables
+                v = self._replicate(v) if self.mesh is not None \
+                    else jax.device_put(v)
+                self._loss_consts_cached = {"lpips": v}
+            else:
+                self._loss_consts_cached = {}
         return self._loss_consts_cached
 
     def _make_step(self):
@@ -157,13 +161,13 @@ class RateDistortionTrainer(BaseTrainer):
                                       aux_opt_state=new_aux_opt)
             return new_state, log
 
-        return jax.jit(step_fn, donate_argnums=0)
+        return self._jit_step(step_fn)
 
     def optimize_parameters(self, itr: int, data: Dict) -> Optional[Dict]:
         if not hasattr(self, "_step_fn"):
             self._step_fn = self._make_step()
         model = self.comp_model
-        batch = jnp.asarray(data["real_images"])
+        batch = self._put_batch(data["real_images"])
         rate_ind = jnp.asarray(
             [model.sample_rate_ind() if model.use_rate else 0.0], jnp.float32)
         beta = jnp.asarray(

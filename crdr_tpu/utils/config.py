@@ -120,7 +120,14 @@ def load_yaml_with_base(filepath: str) -> Dict:
     merged: Dict = {}
     for base in base_files:
         base_path = base if osp.isabs(base) else osp.join(osp.dirname(filepath), base)
-        merged = merge_dict(load_yaml_with_base(base_path), merged)
+        base_cfg = load_yaml_with_base(base_path)
+        # base files must be disjoint; a key defined twice is an authoring
+        # error, not an override (reference options.py:96-105 raises too)
+        dup = sorted(set(base_cfg) & set(merged))
+        if dup:
+            raise KeyError(
+                f"duplicate keys across _base_ files of {filepath}: {dup}")
+        merged = merge_dict(base_cfg, merged)
     return merge_dict(cfg, merged)
 
 
@@ -160,12 +167,17 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
     parser.add_argument("--log_step", type=int, default=None)
     parser.add_argument("--save_step", type=int, default=None)
     parser.add_argument("--num_workers", type=int, default=None)
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="data-parallel device count (Mesh over ICI)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host pods)")
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--use_wandb", action="store_true")
     args = parser.parse_args(argv)
 
     cfg = Config.from_file(args.config_path)
-    for key in ("start_iter", "total_iter", "eval_step", "log_step", "save_step"):
+    for key in ("start_iter", "total_iter", "eval_step", "log_step",
+                "save_step", "n_devices"):
         val = getattr(args, key)
         if val is not None:
             cfg[key] = val
@@ -175,6 +187,7 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
     if args.num_workers is not None:
         cfg["num_workers"] = args.num_workers
     cfg["device"] = args.device
+    cfg["distributed"] = bool(args.distributed)
     cfg["dry_run"] = bool(args.dry_run)
     cfg["use_wandb"] = bool(args.use_wandb)
     cfg["debug"] = bool(args.debug)

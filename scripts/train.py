@@ -23,6 +23,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", opt.device)
+    if opt.get("distributed"):
+        from crdr_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
     ph = PathHandler(opt.ckpt_root, opt.exp)
     ph.make_job_dir()
     from crdr_tpu.runtime.cache import enable_compilation_cache
