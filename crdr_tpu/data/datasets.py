@@ -11,6 +11,7 @@ procedural images for tests and benchmarks without external data.
 from __future__ import annotations
 
 import os
+import threading
 from glob import glob
 from typing import Dict, List, Optional, Tuple
 
@@ -30,7 +31,21 @@ class BaseImageDataset:
         self.image_size = image_size
         self.resize_range = resize_range
         self.interpolation = interpolation
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._tls = threading.local()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """Per-thread rng: the multi-worker DataLoader calls __getitem__ from
+        a thread pool, and a shared Generator is not thread-safe.  Each worker
+        gets an independent stream derived from (seed, thread id)."""
+        r = getattr(self._tls, "rng", None)
+        if r is None:
+            seed = None if self._seed is None \
+                else [self._seed, threading.get_ident() % (1 << 31)]
+            r = np.random.default_rng(seed)
+            self._tls.rng = r
+        return r
 
     def __len__(self) -> int:
         return len(self.img_path_list)

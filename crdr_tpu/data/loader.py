@@ -1,14 +1,18 @@
-"""Minimal threaded data loader producing NHWC numpy batches.
+"""Multi-worker threaded data loader producing NHWC numpy batches.
 
-Replaces the reference's torch DataLoader (base_trainer.py:74-80) with a
-background-thread prefetcher: batches are assembled on host threads while the
-TPU runs the previous step.
+Replaces the reference's torch DataLoader (base_trainer.py:74-80, 8 workers)
+with a thread-pool pipeline: ``num_workers`` threads decode/transform samples
+concurrently (cv2 releases the GIL during JPEG decode and resize), up to
+``prefetch`` whole batches stay in flight, and assembled batches are handed to
+the training loop in deterministic order while the TPU runs the previous step.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -16,12 +20,13 @@ import numpy as np
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 drop_last: bool = False, num_workers: int = 1,
+                 drop_last: bool = False, num_workers: int = 8,
                  prefetch: int = 4, seed: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_workers = max(int(num_workers), 1)
         self.prefetch = max(prefetch, 1)
         self.rng = np.random.default_rng(seed)
 
@@ -41,21 +46,32 @@ class DataLoader:
                 return
             yield batch
 
+    @staticmethod
+    def _assemble(futures) -> Dict[str, np.ndarray]:
+        samples = [f.result() for f in futures]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                  thread_name_prefix="crdr-data")
 
         def producer():
             try:
+                # keep up to `prefetch` batches' samples decoding concurrently;
+                # batches are assembled and delivered strictly in order
+                pending: deque = deque()
                 for idxs in self._batch_indices():
-                    samples = [self.dataset[int(i)] for i in idxs]
-                    batch = {
-                        k: np.stack([s[k] for s in samples])
-                        for k in samples[0]
-                    }
-                    q.put(batch)
+                    pending.append([pool.submit(self.dataset.__getitem__,
+                                                int(i)) for i in idxs])
+                    while len(pending) > self.prefetch:
+                        q.put(self._assemble(pending.popleft()))
+                while pending:
+                    q.put(self._assemble(pending.popleft()))
             finally:
                 q.put(stop)
+                pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -1,0 +1,59 @@
+"""Multi-worker DataLoader: ordering, determinism, and concurrency."""
+
+import numpy as np
+
+from crdr_tpu.data import DataLoader, build_dataset
+from crdr_tpu.utils.config import ConfigDict
+
+
+def _ds(n=16, train=False):
+    return build_dataset(ConfigDict({
+        "name": "", "type": "SyntheticImageDataset", "num_images": n,
+        "image_size": 64, "base_size": 64}), is_train=train)
+
+
+def test_multiworker_matches_single_worker_order():
+    """Eval samples are index-deterministic; worker count must not change
+    batch order or contents."""
+    ds = _ds()
+    b1 = list(DataLoader(ds, batch_size=4, num_workers=1))
+    b8 = list(DataLoader(ds, batch_size=4, num_workers=8))
+    assert len(b1) == len(b8) == 4
+    for x, y in zip(b1, b8):
+        np.testing.assert_array_equal(x["real_images"], y["real_images"])
+
+
+def test_multiworker_shuffle_deterministic_by_seed():
+    ds = _ds()
+    a = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        num_workers=8))
+    b = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        num_workers=8))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["real_images"], y["real_images"])
+
+
+def test_train_transforms_threadsafe():
+    """Random-crop transforms under concurrent decode: every sample has the
+    right shape/dtype/range (thread-local rng, no crashes or races)."""
+    ds = _ds(n=32, train=True)
+    batches = list(DataLoader(ds, batch_size=8, shuffle=True, seed=0,
+                              num_workers=8, drop_last=True))
+    assert len(batches) == 4
+    for b in batches:
+        x = b["real_images"]
+        assert x.shape == (8, 64, 64, 3) and x.dtype == np.float32
+        assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_prefetch_bounded():
+    """The loader keeps at most `prefetch` assembled batches queued (no
+    unbounded memory growth on a slow consumer)."""
+    ds = _ds(n=32)
+    loader = DataLoader(ds, batch_size=4, num_workers=4, prefetch=2)
+    it = iter(loader)
+    first = next(it)
+    assert first["real_images"].shape[0] == 4
+    # drain the rest; generator cleanup must not deadlock
+    rest = list(it)
+    assert len(rest) == 7
