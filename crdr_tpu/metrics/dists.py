@@ -109,13 +109,11 @@ def load_dists_params(state: Dict) -> Dict:
     for k, v in state.items():
         v = np.asarray(v, np.float32)
         if k.startswith("stage"):
-            # stage1.0.weight -> torchvision index offsets
-            stage_i = int(k[5]) - 1
+            # the official DISTS module registers VGG16 layers under their
+            # GLOBAL torchvision feature indices (add_module(str(x), ...)),
+            # so "stage2.5.weight" is features[5] == our conv5 directly
             rest = k.split(".")
-            idx = int(rest[1])
-            # stages store Sequential slices; recover the global vgg index
-            base = [0, 4, 9, 16, 23][stage_i]
-            g = base + idx if stage_i == 0 else base + idx - 1
+            g = int(rest[1])
             leaf = rest[-1]
             name = f"conv{g}"
             params["vgg"].setdefault(name, {})

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# smoke tests exercise the LPIPS loss shape without real backbone weights;
+# production training hard-errors instead (losses/perceptual_loss.py)
+os.environ.setdefault("CRDR_ALLOW_RANDOM_LPIPS", "1")
 
 import jax  # noqa: E402
 

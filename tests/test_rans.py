@@ -1,5 +1,7 @@
 """Round-trip and property tests for the C++ rANS runtime."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,54 @@ def test_rans_deterministic():
     s1 = rans_encode_with_indexes(symbols, indexes, cdfs, lengths, offsets)
     s2 = rans_encode_with_indexes(symbols, indexes, cdfs, lengths, offsets)
     assert s1 == s2
+
+
+# ---------------------------------------------------------------------------
+# CompressAI wire-format cross-validation (fixture captured by
+# scripts/capture_rans_vectors.py in a compressai-equipped environment)
+# ---------------------------------------------------------------------------
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "compressai_rans_vectors.json")
+
+
+def test_capture_cases_roundtrip():
+    """The shared case generator round-trips through OUR coder regardless of
+    whether the CompressAI fixture has been captured yet."""
+    from scripts.capture_rans_vectors import make_cases
+
+    for case in make_cases():
+        stream = rans_encode_with_indexes(
+            case["symbols"], case["indexes"], case["cdfs"],
+            case["cdf_lengths"], case["offsets"])
+        out = rans_decode_with_indexes(
+            stream, case["indexes"], case["cdfs"], case["cdf_lengths"],
+            case["offsets"])
+        np.testing.assert_array_equal(out, case["symbols"]), case["name"]
+
+
+def test_compressai_fixture_cross_validation():
+    """Byte-level parity with CompressAI streams (SURVEY.md section 7:
+    golden tests against CompressAI-produced streams)."""
+    if not os.path.exists(_FIXTURE):
+        pytest.skip("compressai fixture not captured in this environment "
+                    "(run scripts/capture_rans_vectors.py where compressai "
+                    "is installed)")
+    import json
+
+    from scripts.capture_rans_vectors import make_cases
+
+    with open(_FIXTURE) as f:
+        fixture = {row["name"]: bytes.fromhex(row["stream_hex"])
+                   for row in json.load(f)}
+    for case in make_cases():
+        golden = fixture[case["name"]]
+        ours = rans_encode_with_indexes(
+            case["symbols"], case["indexes"], case["cdfs"],
+            case["cdf_lengths"], case["offsets"])
+        assert ours == golden, \
+            f"{case['name']}: our stream differs from CompressAI's"
+        out = rans_decode_with_indexes(
+            golden, case["indexes"], case["cdfs"], case["cdf_lengths"],
+            case["offsets"])
+        np.testing.assert_array_equal(out, case["symbols"])

@@ -44,6 +44,23 @@ def test_config_base_inheritance(tmp_path):
     assert cfg.exp == "child"
 
 
+def test_config_duplicate_base_keys_raise(tmp_path):
+    """Two _base_ files defining the same key is an authoring error
+    (reference options.py:96-105)."""
+    (tmp_path / "b1.yaml").write_text("a: 1\nshared: {x: 1}\n")
+    (tmp_path / "b2.yaml").write_text("b: 2\nshared: {x: 2}\n")
+    (tmp_path / "child.yaml").write_text(
+        "_base_: [./b1.yaml, ./b2.yaml]\nc: 3\n")
+    with pytest.raises(KeyError, match="duplicate keys"):
+        Config.from_file(str(tmp_path / "child.yaml"))
+    # disjoint bases still compose
+    (tmp_path / "b3.yaml").write_text("d: 4\n")
+    (tmp_path / "child2.yaml").write_text(
+        "_base_: [./b1.yaml, ./b3.yaml]\nc: 3\n")
+    cfg = Config.from_file(str(tmp_path / "child2.yaml"))
+    assert cfg.a == 1 and cfg.d == 4 and cfg.c == 3
+
+
 def test_reference_crdr_config_composes():
     ref = "/root/repo/config/crdr.yaml"
     if not os.path.exists(ref):
