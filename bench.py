@@ -30,26 +30,34 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
 
 
-def run_pipeline(model, img):
-    enc = model.compress(img, rate_ind=2.0)
-    fake, _, _ = model.decompress(enc["string_list"], beta=2.56)
-    return enc, fake
+def run_pipeline(model, imgs):
+    encs = model.compress_batch(imgs, rate_ind=2.0)
+    fake, _, _ = model.decompress_batch([e["string_list"] for e in encs],
+                                        beta=2.56)
+    return encs, fake
 
 
 def main():
     from __graft_entry__ import _flagship_model
 
     H, W = 512, 768  # Kodak landscape
-    print("bench: building model...", file=sys.stderr, flush=True)
-    model = _flagship_model(tiny=False)
+    BATCH = int(os.environ.get("CRDR_BENCH_BATCH", "8"))
+    cfg_name = os.environ.get("CRDR_BENCH_CONFIG", "crdr_throughput.yaml")
+    print(f"bench: building model ({cfg_name})...", file=sys.stderr,
+          flush=True)
+    model = _flagship_model(tiny=False, config_name=cfg_name)
     model.codec_setup()
     rng = np.random.default_rng(0)
     # uint8 pixels: the real codec input (decoded PNG), and the dtype the
-    # uint8-wire fast path ships to the device
-    img = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+    # uint8-wire fast path ships to the device.  Throughput protocol: a
+    # serving batch of BATCH images moves through compress_batch /
+    # decompress_batch — ONE set of device dispatches per batch (the Charm
+    # decode loop's serial round trips amortize across the batch; per-image
+    # rANS streams stay independent and bit-identical to batch-1 coding).
+    imgs = rng.integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8)
 
     print("bench: warmup/compile...", file=sys.stderr, flush=True)
-    run_pipeline(model, img)
+    run_pipeline(model, imgs)
     print("bench: timing...", file=sys.stderr, flush=True)
 
     profile_dir = os.environ.get("CRDR_PROFILE_DIR")
@@ -62,10 +70,10 @@ def main():
     t_enc = t_dec = 0.0
     for _ in range(iters):
         t0 = time.perf_counter()
-        enc = model.compress(img, rate_ind=2.0)
+        encs = model.compress_batch(imgs, rate_ind=2.0)
         t_enc += time.perf_counter() - t0
         t0 = time.perf_counter()
-        model.decompress(enc["string_list"], beta=2.56)
+        model.decompress_batch([e["string_list"] for e in encs], beta=2.56)
         t_dec += time.perf_counter() - t0
     if profile_dir:
         import jax
@@ -76,10 +84,12 @@ def main():
     t_enc /= iters
     t_dec /= iters
     dt = t_enc + t_dec
-    print(f"bench: encode {t_enc:.3f}s decode {t_dec:.3f}s "
-          f"stage timing {enc['timing']}", file=sys.stderr, flush=True)
+    print(f"bench: batch={BATCH} encode {t_enc:.3f}s decode {t_dec:.3f}s "
+          f"({dt / BATCH * 1e3:.0f} ms/img) "
+          f"stage timing enc={encs[0]['timing']} "
+          f"dec={model.last_decode_timing}", file=sys.stderr, flush=True)
 
-    mpix_s = (H * W) / dt / 1e6
+    mpix_s = BATCH * (H * W) / dt / 1e6
 
     vs_baseline = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -89,7 +99,8 @@ def main():
             vs_baseline = mpix_s / base["mpixel_s"]
 
     print(json.dumps({
-        "metric": "encode+decode Mpixel/s (768x512, flagship CRDR, 1 chip)",
+        "metric": f"encode+decode Mpixel/s (768x512 batch={BATCH}, "
+                  "flagship CRDR, 1 chip)",
         "value": round(mpix_s, 4),
         "unit": "Mpixel/s",
         "vs_baseline": round(vs_baseline, 3),

@@ -706,7 +706,7 @@ class BaseModel:
 
         if self.use_charm and not self._is_checkerboard and \
                 self.context_type == "Minnen20CharmContextModel":
-            return self._decompress_charm(z_str, y_str, zH, zW, rate_ind,
+            return self._decompress_charm([z_str], [y_str], zH, zW, rate_ind,
                                           beta, H, W)
 
         timing = {}
@@ -737,22 +737,57 @@ class BaseModel:
         self.last_decode_timing = timing
         return fake, z_hat, np.asarray(y_hat)
 
-    def _decompress_charm(self, z_str: bytes, y_str: bytes, zH: int, zW: int,
+    def decompress_batch(self, string_lists: List[List[bytes]],
+                         beta: float = 0.0):
+        """Batched decode: N same-size bitstreams through ONE set of device
+        dispatches (throughput extension over the reference's image-at-a-time
+        decompress).  The Charm loop's latency is dominated by its serial
+        num_slices+1 device round trips; batching amortizes them across the
+        whole batch, so decode throughput scales ~linearly with N.  Host rANS
+        still runs one independent stream per image between dispatches.
+
+        Returns (fake [N,H,W,3], z_hat, y_hat).  All streams must share the
+        image size and rate index."""
+        heads = [self.header_handler.decode(sl[0]) for sl in string_lists]
+        H, W = heads[0]["img_size"]
+        rate_ind = heads[0].get("rate_ind")
+        for hd in heads[1:]:
+            assert tuple(hd["img_size"]) == (H, W), \
+                "decompress_batch requires equal image sizes"
+            assert hd.get("rate_ind") == rate_ind, \
+                "decompress_batch requires one rate index per batch"
+        padH = math.ceil(H / self.stride) * self.stride
+        padW = math.ceil(W / self.stride) * self.stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        if self.use_charm and not self._is_checkerboard and \
+                self.context_type == "Minnen20CharmContextModel":
+            return self._decompress_charm(
+                [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
+                zH, zW, rate_ind, beta, H, W)
+        outs = [self.decompress(sl, beta=beta) for sl in string_lists]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([np.asarray(o[1]) for o in outs]),
+                np.concatenate([np.asarray(o[2]) for o in outs]))
+
+    def _decompress_charm(self, z_strs: List[bytes], y_strs: List[bytes],
+                          zH: int, zW: int,
                           rate_ind, beta: float, H: int, W: int):
-        """Serial Charm decode with fused ends.
+        """Serial Charm decode with fused ends, batched over N streams.
 
         Dispatch layout (num_slices = S):
           1. ``decode_begin``: z dequantize + hyper-decode + slice-0 entropy
              params/indexes — one program;
           2. S-1 shape-uniform steps (reconstruct slice i-1, params for i),
-             interleaved with the host rANS stream decode;
+             interleaved with the host rANS stream decode (one rANS state
+             per image);
           3. ``decode_final``: last slice reconstruction + latent concat +
              synthesis transform — one program.
         Indexes travel d2h as uint8 (scale table < 256 entries); symbols
         ride h2d with the next dispatch.  The serial structure is inherent
         to Charm (the reference decodes slice-by-slice the same way,
         minnen20_charm_context_model.py:88-141); the fusing minimizes the
-        per-step host<->device round trips that dominate its latency."""
+        per-step host<->device round trips that dominate its latency, and
+        the batch dimension amortizes them."""
         import time as _time
 
         from ..runtime import RansStreamDecoder
@@ -760,7 +795,7 @@ class BaseModel:
         assert self._charm_packed is not None, "codec_setup() builds weights"
         timing = {}
         t0 = _time.perf_counter()
-        z_sym = self.codec_z.decompress([z_str], (zH, zW))
+        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
         cp = {"net": self.params, "packed": self._charm_packed}
         table = self._table_dev
         dev = self._dev
@@ -774,15 +809,17 @@ class BaseModel:
         step = self._charm_step_fn()
         ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
         bt = self._dev_scalar("b", beta) if self.use_beta else None
-        decoder = RansStreamDecoder(y_str)
+        decoders = [RansStreamDecoder(ys) for ys in y_strs]
         y_slices: List[Array] = []
         try:
             for i in range(ns):
-                idx_cm = np.asarray(idx).astype(np.int32) \
-                    .transpose(0, 3, 1, 2).reshape(-1)
-                dec = decoder.decode(idx_cm, self.codec_y.quantized_cdf,
-                                     self.codec_y.cdf_length,
-                                     self.codec_y.offset)
+                idx_np = np.asarray(idx).astype(np.int32)  # [n, h, w, sc]
+                dec = np.stack([
+                    decoders[j].decode(
+                        idx_np[j].transpose(2, 0, 1).reshape(-1),
+                        self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                        self.codec_y.offset)
+                    for j in range(n)])
                 sym = jax.device_put(
                     dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
                     .astype(np.float32), dev)
@@ -797,7 +834,8 @@ class BaseModel:
                     fake, y_hat = self._codec_fn("decode_final")(
                         cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
         finally:
-            decoder.close()
+            for d in decoders:
+                d.close()
         fake = np.asarray(fake)
         if fake.dtype == np.uint8:  # codec_uint8_io: device sent uint8
             fake = uint8_to_tensor(fake)
