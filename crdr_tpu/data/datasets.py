@@ -32,20 +32,23 @@ class BaseImageDataset:
         self.resize_range = resize_range
         self.interpolation = interpolation
         self._seed = seed
-        self._tls = threading.local()
+        self._lock = threading.Lock()
+        self._draws: Dict[int, int] = {}
 
-    @property
-    def rng(self) -> np.random.Generator:
-        """Per-thread rng: the multi-worker DataLoader calls __getitem__ from
-        a thread pool, and a shared Generator is not thread-safe.  Each worker
-        gets an independent stream derived from (seed, thread id)."""
-        r = getattr(self._tls, "rng", None)
-        if r is None:
-            seed = None if self._seed is None \
-                else [self._seed, threading.get_ident() % (1 << 31)]
-            r = np.random.default_rng(seed)
-            self._tls.rng = r
-        return r
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        """Per-sample rng: the multi-worker DataLoader calls __getitem__ from
+        a thread pool, and a shared Generator is neither thread-safe nor
+        deterministic under scheduling.  Seeding from (dataset seed, index,
+        per-index draw count) makes every crop/flip reproducible regardless
+        of worker count or thread interleaving, while still varying across
+        epochs (the draw count is the epoch number for a sampled-once-per-
+        epoch index)."""
+        if self._seed is None:
+            return np.random.default_rng()
+        with self._lock:
+            k = self._draws.get(index, 0)
+            self._draws[index] = k + 1
+        return np.random.default_rng([self._seed, index, k])
 
     def __len__(self) -> int:
         return len(self.img_path_list)
@@ -56,10 +59,11 @@ class BaseImageDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         img = self._load(index)
         if self.is_train:
-            img = self._train_transform(img)
+            img = self._train_transform(img, self._sample_rng(index))
         return {"real_images": img}
 
-    def _train_transform(self, img: np.ndarray) -> np.ndarray:
+    def _train_transform(self, img: np.ndarray,
+                         rng: np.random.Generator) -> np.ndarray:
         import cv2
 
         size = self.image_size
@@ -69,7 +73,7 @@ class BaseImageDataset:
             min_scale = size / min(h, w)
             lo = max(min_scale, fmin)
             hi = max(lo, fmax)
-            scale = self.rng.uniform(lo, hi)
+            scale = rng.uniform(lo, hi)
             interp = cv2.INTER_CUBIC if self.interpolation == "bicubic" \
                 else cv2.INTER_LINEAR
             img = cv2.resize(img, (int(w * scale), int(h * scale)),
@@ -81,10 +85,10 @@ class BaseImageDataset:
         if pad_h or pad_w:
             img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
             h, w = img.shape[:2]
-        top = int(self.rng.integers(0, h - size + 1))
-        left = int(self.rng.integers(0, w - size + 1))
+        top = int(rng.integers(0, h - size + 1))
+        left = int(rng.integers(0, w - size + 1))
         img = img[top:top + size, left:left + size]
-        if self.rng.random() < 0.5:
+        if rng.random() < 0.5:
             img = img[:, ::-1]
         return np.ascontiguousarray(img, np.float32)
 

@@ -305,6 +305,15 @@ class BaseModel:
                 cm_opt["hyper_out_ch"] // 2, self.max_support_slices)
             self._charm_packed = {k: jax.device_put(v, self._dev)
                                   for k, v in packed.items()}
+        elif self._is_checkerboard:
+            from ..ops.cb_uniform import pack_cb_weights
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            packed = pack_cb_weights(
+                self.params["context_model"], self.num_slices, self.slice_ch,
+                cm_opt["hyper_out_ch"] // 2, self.max_support_slices)
+            self._charm_packed = {k: jax.device_put(v, self._dev)
+                                  for k, v in packed.items()}
 
     def _dev_scalar(self, kind: str, value: float) -> Array:
         """Cached device-resident [1]-shaped f32 scalar (rate_ind / beta)."""
@@ -874,103 +883,98 @@ class BaseModel:
             fn, donate_argnums=(4,))
         return self._jit_cache["charm_uniform"]
 
-    def _cb_fn(self, kind: str, slice_ind: int):
-        """Per-slice jitted programs for the checkerboard serial decode."""
-        key = f"cb_{kind}_{slice_ind}"
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-        net = self.net
-        prec = self.codec_precision
+    def _cb_phase_fns(self):
+        """The TWO shape-uniform checkerboard decode programs (see
+        ops/cb_uniform.py) — two compiles serve the whole slice loop."""
+        if "cb_uniform" not in self._jit_cache:
+            from ..ops.cb_uniform import cb_phase_a, cb_phase_b
 
-        if kind == "base":
-            def fn(params, si, hyper_mean, hyper_scale, support):
-                return net.apply(
-                    {"params": params}, hyper_mean, hyper_scale, support,
-                    method=lambda n, hm, hs, sup:
-                    n.context_model.decode_slice_base(si, hm, hs, sup))
-        elif kind == "spatial":
-            def fn(params, si, mu, sigma, y_hat_a):
-                return net.apply(
-                    {"params": params}, mu, sigma, y_hat_a,
-                    method=lambda n, m, s, ya:
-                    n.context_model.decode_slice_spatial(si, m, s, ya))
-        elif kind == "lrp":
-            def fn(params, si, hyper_mean, support, y_hat_slice):
-                return net.apply(
-                    {"params": params}, hyper_mean, support, y_hat_slice,
-                    method=lambda n, hm, sup, ys:
-                    n.context_model.decode_slice_lrp(si, hm, sup, ys))
-        else:
-            raise KeyError(kind)
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = self.num_slices, self.slice_ch, \
+                self.max_support_slices
+            prec = self.codec_precision
 
-        def wrapped(params, si, *args):
-            with _precision_scope(prec):
-                return fn(params, si, *args)
+            def fa(packed, i, hm, hs, support, sym_na, y_a, mu_c, table):
+                with _precision_scope(prec):
+                    y_prev, support, mu, sigma, idx = cb_phase_a(
+                        packed, i, hm, hs, support, sym_na, y_a, mu_c,
+                        table, bound, ns, sc, msup, actv)
+                return y_prev, support, mu, sigma, idx.astype(jnp.uint8)
 
-        jitted = jax.jit(wrapped, static_argnums=1)
-        self._jit_cache[key] = jitted
-        return jitted
+            def fb(packed, i, sym_a, mu, sigma, table):
+                with _precision_scope(prec):
+                    y_a, mu_c, idx = cb_phase_b(packed, i, sym_a, mu, sigma,
+                                                table, bound)
+                return y_a, mu_c, idx.astype(jnp.uint8)
+
+            self._jit_cache["cb_uniform"] = (
+                jax.jit(fa, donate_argnums=(4,)), jax.jit(fb))
+        return self._jit_cache["cb_uniform"]
 
     def _checkerboard_decompress(self, y_str: bytes,
                                  hyper_out: Array) -> np.ndarray:
-        """Two-phase (anchor -> non-anchor) decode per slice."""
+        """Two-phase (anchor -> non-anchor) decode per slice, running TWO
+        compiled programs total (phase A / phase B, shape-uniform across
+        slices via packed weights — ops/cb_uniform.py)."""
         from ..runtime import RansStreamDecoder
-        from ..subnet.context_model.checkerboard import (anchor_mask,
-                                                         merge_checkerboard,
-                                                         split_checkerboard)
+        from ..subnet.context_model.checkerboard import split_checkerboard
 
+        assert self._charm_packed is not None, "codec_setup() builds weights"
         hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
         n, h, w, _ = hyper_mean.shape
         sc = self.slice_ch
-        amask = np.asarray(anchor_mask(h, w))[None, :, :, None]
+        ns = self.num_slices
+        phase_a, phase_b = self._cb_phase_fns()
+        packed = self._charm_packed
+        table = self._table_dev
+        dev = self._dev
         decoder = RansStreamDecoder(y_str)
-        y_hat_slices: List[Array] = []
 
-        def _decode_half(subgrids) -> np.ndarray:
-            """Decode the two subgrids (channel-major each) and merge later."""
+        def _decode_grids(grids) -> np.ndarray:
+            """Decode subgrids (channel-major each) from the stream."""
             outs = []
-            for g in subgrids:
-                flat = g.transpose(0, 3, 1, 2).reshape(-1)
-                sym = decoder.decode(flat, self.codec_y.quantized_cdf,
+            for g in grids:
+                sym = decoder.decode(g.transpose(0, 3, 1, 2).reshape(-1),
+                                     self.codec_y.quantized_cdf,
                                      self.codec_y.cdf_length,
                                      self.codec_y.offset)
                 outs.append(sym.reshape(g.shape[0], sc, g.shape[1],
-                                        g.shape[2]).transpose(0, 2, 3, 1))
+                                        g.shape[2]).transpose(0, 2, 3, 1)
+                            .astype(np.float32))
             return outs
 
+        zeros = jnp.zeros((n, h, w, sc), jnp.float32)
+        support = jnp.zeros((n, h, w, self.max_support_slices * sc),
+                            jnp.float32)
+        _, support, mu, sigma, idx = phase_a(
+            packed, jnp.int32(0), hyper_mean, hyper_scale, support,
+            zeros, zeros, zeros, table)
+        y_slices: List[Array] = []
         try:
-            for i in range(self.num_slices):
-                nsup = min(i, self.max_support_slices)
-                if nsup > 0:
-                    support = jnp.concatenate(y_hat_slices[:nsup], axis=-1)
-                else:
-                    support = jnp.zeros((n, h, w, 0), hyper_mean.dtype)
-                mu, sigma = self._cb_fn("base", i)(
-                    self.params, i, hyper_mean, hyper_scale, support)
-                sigma_np = np.asarray(sigma)
-                mu_np = np.asarray(mu)
-                idx = self.codec_y.build_indexes(sigma_np)
-                ia1, ia2, _, _ = split_checkerboard(idx)
-                a1, a2 = _decode_half((ia1, ia2))
-                # anchors reconstructed with base mu
-                zeros = np.zeros_like(a1)
-                y_a = _merge_np(a1, a2, zeros, zeros).astype(np.float32)
-                y_a = (y_a + mu_np * amask) * amask
-                mu_c, sigma_c = self._cb_fn("spatial", i)(
-                    self.params, i, mu, sigma, jnp.asarray(y_a))
-                idx_c = self.codec_y.build_indexes(np.asarray(sigma_c))
-                _, _, in1, in2 = split_checkerboard(idx_c)
-                na1, na2 = _decode_half((in1, in2))
-                zeros = np.zeros_like(na1)
-                y_na = _merge_np(zeros, zeros, na1, na2).astype(np.float32)
-                y_na = (y_na + np.asarray(mu_c) * (1 - amask)) * (1 - amask)
-                y_hat_slice = jnp.asarray(y_a + y_na)
-                y_hat_slice = self._cb_fn("lrp", i)(
-                    self.params, i, hyper_mean, support, y_hat_slice)
-                y_hat_slices.append(y_hat_slice)
+            for i in range(ns):
+                idx_np = np.asarray(idx).astype(np.int32)
+                ia1, ia2, _, _ = split_checkerboard(idx_np)
+                a1, a2 = _decode_grids((ia1, ia2))
+                z2 = np.zeros_like(a1)
+                sym_a = jax.device_put(_merge_np(a1, a2, z2, z2), dev)
+                y_a, mu_c, idx_na = phase_b(packed, jnp.int32(i), sym_a, mu,
+                                            sigma, table)
+                idx_na_np = np.asarray(idx_na).astype(np.int32)
+                _, _, in1, in2 = split_checkerboard(idx_na_np)
+                na1, na2 = _decode_grids((in1, in2))
+                sym_na = jax.device_put(
+                    _merge_np(np.zeros_like(na1), np.zeros_like(na1), na1,
+                              na2), dev)
+                y_prev, support, mu, sigma, idx = phase_a(
+                    packed, jnp.int32(i + 1), hyper_mean, hyper_scale,
+                    support, sym_na, y_a, mu_c, table)
+                y_slices.append(y_prev)
         finally:
             decoder.close()
-        return np.asarray(jnp.concatenate(y_hat_slices, axis=-1))
+        return np.asarray(jnp.concatenate(y_slices, axis=-1))
 
     # ---------------- validation -------------------------------------------
 

@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--shape_bucket", type=int, default=None,
                    help="pad images to multiples of this (>=64, multiple of "
                         "64) to bound compile count on mixed-size datasets")
+    p.add_argument("--batch", type=int, default=1,
+                   help="serving batch size: groups same-size images through "
+                        "compress_batch/decompress_batch (one device dispatch "
+                        "set per batch; streams identical to batch 1)")
     return p.parse_args(argv)
 
 
@@ -80,51 +84,75 @@ def main(argv=None):
              for e in ("*.png", "*.jpg", "*.jpeg")), []))
     assert img_paths, f"no images in {args.img_dir}"
 
+    # group consecutive same-size images into serving batches (one device
+    # dispatch set per batch; per-image streams identical to batch 1)
+    def _chunks():
+        cur, cur_hw = [], None
+        for path in img_paths:
+            name = os.path.splitext(os.path.basename(path))[0]
+            img = imread(path)
+            hw = img.shape[:2]
+            if cur and (hw != cur_hw or len(cur) >= max(args.batch, 1)):
+                yield cur
+                cur = []
+            cur_hw = hw
+            cur.append((name, img))
+        if cur:
+            yield cur
+
     rows = []
     bpps = []
-    for path in img_paths:
-        name = os.path.splitext(os.path.basename(path))[0]
-        img = imread(path)[None]  # [1,H,W,3]
-        H, W = img.shape[1:3]
+    for chunk in _chunks():
+        names = [n for n, _ in chunk]
+        imgs = np.stack([im for _, im in chunk])
+        H, W = imgs.shape[1:3]
         t0 = time.perf_counter()
         kwargs = {}
         if model.use_rate:
             q = args.quality if args.quality >= 0 else 0.0
             kwargs["rate_ind"] = q
-        enc = model.compress(img, **kwargs)
-        enc_time = time.perf_counter() - t0
+        encs = model.compress_batch(imgs, **kwargs)
+        enc_time = (time.perf_counter() - t0) / len(chunk)
 
-        bin_path = os.path.join(args.save_dir, f"{name}.bin")
-        save_byte_strings(bin_path, enc["string_list"])
-        real_bits = os.path.getsize(bin_path) * 8
-        real_bpp = real_bits / (H * W)
-        bpps.append(real_bpp)
-
-        row = {
-            "name": name,
-            "header_bit": len(enc["string_list"][0]) * 8,
-            "z_bit": len(enc["string_list"][1]) * 8,
-            "y_bit": len(enc["string_list"][2]) * 8,
-            "real_bit": real_bits,
-            "real_bpp": real_bpp,
-            "pred_y_bpp": enc["pred_y_bpp"],
-            "pred_z_bpp": enc["pred_z_bpp"],
-            "pred_bpp": enc["pred_y_bpp"] + enc["pred_z_bpp"],
-            "enc_time": enc_time,
-        }
+        chunk_rows = []
+        for name, enc in zip(names, encs):
+            bin_path = os.path.join(args.save_dir, f"{name}.bin")
+            save_byte_strings(bin_path, enc["string_list"])
+            real_bits = os.path.getsize(bin_path) * 8
+            real_bpp = real_bits / (H * W)
+            bpps.append(real_bpp)
+            chunk_rows.append({
+                "name": name,
+                "header_bit": len(enc["string_list"][0]) * 8,
+                "z_bit": len(enc["string_list"][1]) * 8,
+                "y_bit": len(enc["string_list"][2]) * 8,
+                "real_bit": real_bits,
+                "real_bpp": real_bpp,
+                "pred_y_bpp": enc["pred_y_bpp"],
+                "pred_z_bpp": enc["pred_z_bpp"],
+                "pred_bpp": enc["pred_y_bpp"] + enc["pred_z_bpp"],
+                "enc_time": enc_time,
+            })
         if args.decompress:
-            strings = load_byte_strings(bin_path)
+            strings = [load_byte_strings(
+                os.path.join(args.save_dir, f"{n}.bin")) for n in names]
             t0 = time.perf_counter()
             dec_kwargs = {}
             if model.use_beta:
                 dec_kwargs["beta"] = args.beta if args.beta >= 0 else 0.0
-            fake, z_hat, y_hat = model.decompress(strings, **dec_kwargs)
-            row["dec_time"] = time.perf_counter() - t0
-            imwrite(os.path.join(args.save_dir, f"{name}.png"), fake)
-        rows.append(row)
-        logger.info(f"{name}: bpp {real_bpp:.4f} "
-                    f"(pred {row['pred_bpp']:.4f}) enc {enc_time:.2f}s"
-                    + (f" dec {row['dec_time']:.2f}s" if args.decompress else ""))
+            fakes, z_hat, y_hat = model.decompress_batch(strings, **dec_kwargs)
+            dec_time = (time.perf_counter() - t0) / len(chunk)
+            fakes = np.asarray(fakes)
+            for j, (name, row) in enumerate(zip(names, chunk_rows)):
+                row["dec_time"] = dec_time
+                imwrite(os.path.join(args.save_dir, f"{name}.png"),
+                        fakes[j:j + 1])
+        for row in chunk_rows:
+            rows.append(row)
+            logger.info(
+                f"{row['name']}: bpp {row['real_bpp']:.4f} "
+                f"(pred {row['pred_bpp']:.4f}) enc {row['enc_time']:.2f}s"
+                + (f" dec {row['dec_time']:.2f}s" if args.decompress else ""))
 
     import pandas as pd
 

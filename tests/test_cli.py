@@ -61,3 +61,25 @@ def test_calc_metrics_cli(tiny_config_and_images):
     assert 0 <= results["MS-SSIM"] <= 1
     assert "bpp" in results
     assert os.path.exists(os.path.join(out_dir, "_metrics.json"))
+
+
+def test_compress_cli_batched(tiny_config_and_images):
+    """--batch groups same-size images; outputs identical to batch 1."""
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    from scripts.compress import main
+
+    out1 = os.path.join(tmp, "out_b1")
+    out2 = os.path.join(tmp, "out_b2")
+    avg1 = main([cfg_path, "--img_dir", img_dir, "--save_dir", out1,
+                 "-q", "1.0", "-b", "2.56", "--decompress", "--seed", "0"])
+    avg2 = main([cfg_path, "--img_dir", img_dir, "--save_dir", out2,
+                 "-q", "1.0", "-b", "2.56", "--decompress", "--seed", "0",
+                 "--batch", "2"])
+    assert abs(avg1 - avg2) < 1e-12
+    for name in ("img0", "img1"):
+        with open(os.path.join(out1, f"{name}.bin"), "rb") as f1, \
+                open(os.path.join(out2, f"{name}.bin"), "rb") as f2:
+            assert f1.read() == f2.read()
+        a = np.fromfile(os.path.join(out1, f"{name}.png"), np.uint8)
+        b = np.fromfile(os.path.join(out2, f"{name}.png"), np.uint8)
+        assert np.array_equal(a, b)

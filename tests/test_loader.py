@@ -35,7 +35,7 @@ def test_multiworker_shuffle_deterministic_by_seed():
 
 def test_train_transforms_threadsafe():
     """Random-crop transforms under concurrent decode: every sample has the
-    right shape/dtype/range (thread-local rng, no crashes or races)."""
+    right shape/dtype/range (per-sample rng, no crashes or races)."""
     ds = _ds(n=32, train=True)
     batches = list(DataLoader(ds, batch_size=8, shuffle=True, seed=0,
                               num_workers=8, drop_last=True))
@@ -44,6 +44,25 @@ def test_train_transforms_threadsafe():
         x = b["real_images"]
         assert x.shape == (8, 64, 64, 3) and x.dtype == np.float32
         assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_train_crops_deterministic_across_worker_counts():
+    """Crop/flip randomness derives from (seed, index, draw) — the batches a
+    trainer sees must not depend on the worker count or thread scheduling
+    (this is what makes DP-vs-single trajectory comparisons exact)."""
+    def run(workers):
+        from crdr_tpu.utils.config import ConfigDict
+        from crdr_tpu.data import build_dataset
+
+        ds = build_dataset(ConfigDict({
+            "name": "", "type": "SyntheticImageDataset", "num_images": 16,
+            "image_size": 48, "base_size": 64, "seed": 5}), is_train=True)
+        return [b["real_images"] for b in
+                DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                           num_workers=workers, drop_last=True)]
+
+    for a, b in zip(run(1), run(8)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_prefetch_bounded():

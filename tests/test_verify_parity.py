@@ -1,0 +1,51 @@
+"""Parity-harness self-test: scripts/verify_parity.py runs end to end on a
+tiny synthetic-weight model (the released-checkpoint assertions are gated
+behind real weights; here we prove the harness machinery — latent round-trip
+check, sweep, monotonicity, report)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    from tests.test_comp_model import tiny_opt
+
+    tmp = tmp_path_factory.mktemp("parity")
+    cfg_path = tmp / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(tiny_opt().to_dict(), f)
+    return str(cfg_path), str(tmp)
+
+
+def test_verify_parity_synthetic(tiny_cfg, monkeypatch):
+    import scripts.verify_parity as vp
+
+    cfg_path, tmp = tiny_cfg
+    # tiny model has rate_level 3; shrink the sweep accordingly
+    monkeypatch.setattr(vp, "SWEEP_QUALITIES", [0.0, 1.0, 2.0])
+    out = os.path.join(tmp, "report.json")
+    vp.main(["--synthetic", "--config", cfg_path, "--out", out])
+    with open(out) as f:
+        report = json.load(f)
+    assert report["synthetic"] is True
+    assert report["checks"]["latent_roundtrip"] == "ok"
+    assert report["checks"]["bpp_monotone"] == "ok"
+    bpps = [r["bpp"] for r in report["sweep"]]
+    assert len(bpps) == 3 and all(np.isfinite(bpps))
+
+
+def test_verify_parity_fails_loudly_without_ckpt(tiny_cfg, capsys):
+    import scripts.verify_parity as vp
+
+    cfg_path, _ = tiny_cfg
+    with pytest.raises(SystemExit) as e:
+        vp.main(["--config", cfg_path])
+    assert e.value.code == 1
+    assert "PARITY FAIL" in capsys.readouterr().err
