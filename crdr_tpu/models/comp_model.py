@@ -484,6 +484,8 @@ class BaseModel:
             def fn(params, hyper_mean, support_buf, sym_prev, mu_prev,
                    y_slices, rate_ind, beta):
                 p, packed = params["net"], params["packed"]
+                # symbols ride h2d as int16 (halves the upload); math in f32
+                sym_prev = sym_prev.astype(hyper_mean.dtype)
                 y_last = uniform_reconstruct_last(
                     packed, hyper_mean, support_buf, sym_prev, mu_prev, ns,
                     actv)
@@ -831,7 +833,7 @@ class BaseModel:
                     for j in range(n)])
                 sym = jax.device_put(
                     dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
-                    .astype(np.float32), dev)
+                    .astype(np.int16), dev)
                 if i < ns - 1:
                     y_prev, support, mu, idx = step(
                         self._charm_packed, jnp.int32(i + 1), hm, hs,
@@ -871,6 +873,8 @@ class BaseModel:
 
         def fn(packed, slice_idx, hyper_mean, hyper_scale, support_buf,
                sym_prev, mu_prev, table):
+            # symbols ride h2d as int16 (halves the upload); math in f32
+            sym_prev = sym_prev.astype(hyper_mean.dtype)
             with _precision_scope(prec):
                 y_prev, support, mu, indexes = uniform_decode_step(
                     packed, slice_idx, hyper_mean, hyper_scale, support_buf,
