@@ -1034,9 +1034,49 @@ class BaseModel:
         return {"params": jax.device_get(self.params)}
 
     def load_state_dict(self, state: Dict) -> None:
+        """Partial-merge load, matching the reference semantics
+        (base_model.py:110-113: keys present in the current model load, new
+        modules keep their initialization) — this is what makes the
+        stage-1 -> stage-2 -> stage-3 handoff work across model classes."""
+        if self.params is None:
+            # no template to merge into (codec CLI loads before init):
+            # trust the checkpoint to be complete for this architecture
+            self.params = jax.device_put(state["params"], jax.devices()[0])
+            return
+        counts = {"loaded": 0, "kept": 0}
+
+        def merge(cur, loaded):
+            if not isinstance(cur, dict):
+                shape_ok = loaded is not None and not isinstance(loaded, dict) \
+                    and tuple(np.shape(loaded)) == tuple(np.shape(cur))
+                counts["loaded" if shape_ok else "kept"] += 1
+                return jnp.asarray(loaded) if shape_ok else cur
+            loaded = loaded if isinstance(loaded, dict) else {}
+            return {k: merge(v, loaded.get(k)) for k, v in cur.items()}
+
+        loaded_params = dict(state["params"])
+        # stage handoff across classes: the InterpCA encoder/decoder wrap the
+        # shared Elic trunk under "body" (flax composition), where the torch
+        # reference keeps flat names via subclassing.  Align the nesting so
+        # stage-1 trunks land in the stage-2 body (and vice versa).
+        for part in ("encoder", "decoder"):
+            cur_p = self.params.get(part)
+            src_p = loaded_params.get(part)
+            if isinstance(cur_p, dict) and isinstance(src_p, dict):
+                if "body" in cur_p and "body" not in src_p:
+                    loaded_params[part] = {"body": src_p}
+                elif "body" not in cur_p and "body" in src_p:
+                    loaded_params[part] = {**src_p["body"],
+                                           **{k: v for k, v in src_p.items()
+                                              if k != "body"}}
+        merged = merge(jax.device_get(self.params), loaded_params)
         # Explicit placement: loaded pytrees are host numpy; without a target
         # they'd stay host-committed and re-upload on every jitted call.
-        self.params = jax.device_put(state["params"], jax.devices()[0])
+        self.params = jax.device_put(merged, jax.devices()[0])
+        if counts["kept"]:
+            self.logger.info(
+                f"partial load: {counts['loaded']} tensors loaded, "
+                f"{counts['kept']} kept at init (new modules)")
 
     def load_learned_weight(self, ckpt_path: str) -> None:
         """Load a checkpoint saved by this framework, or import a reference
