@@ -25,12 +25,20 @@ class BaseImageDataset:
     def __init__(self, img_path_list: List[str], is_train: bool = True,
                  image_size: int = 256,
                  resize_range: Optional[Tuple[float, float]] = None,
-                 interpolation: str = "bicubic", seed: Optional[int] = None):
+                 interpolation: str = "bicubic", seed: Optional[int] = None,
+                 uint8_io: bool = False):
         self.img_path_list = img_path_list
         self.is_train = is_train
         self.image_size = image_size
         self.resize_range = resize_range
         self.interpolation = interpolation
+        # uint8_io: keep samples as uint8 pixels end to end (crop/flip are
+        # exact in uint8 — this matches the reference's PIL pipeline, which
+        # transforms uint8 images and converts to tensor last) and let the
+        # trainer convert ON DEVICE.  Quarters the per-step host->device
+        # upload, which also bounds a host-memory leak in remote-attached
+        # TPU transports that retain h2d staging buffers.
+        self.uint8_io = uint8_io
         self._seed = seed
         self._lock = threading.Lock()
         self._draws: Dict[int, int] = {}
@@ -54,6 +62,13 @@ class BaseImageDataset:
         return len(self.img_path_list)
 
     def _load(self, index: int) -> np.ndarray:
+        if self.uint8_io:
+            import cv2
+
+            bgr = cv2.imread(self.img_path_list[index], cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise FileNotFoundError(self.img_path_list[index])
+            return np.ascontiguousarray(bgr[..., ::-1])  # uint8 RGB
         return imread(self.img_path_list[index])  # [-1,1] HWC
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
@@ -90,6 +105,8 @@ class BaseImageDataset:
         img = img[top:top + size, left:left + size]
         if rng.random() < 0.5:
             img = img[:, ::-1]
+        if img.dtype == np.uint8:
+            return np.ascontiguousarray(img)
         return np.ascontiguousarray(img, np.float32)
 
 
@@ -145,7 +162,8 @@ class SyntheticImageDataset(BaseImageDataset):
     def __init__(self, num_images: int = 32, is_train: bool = True,
                  image_size: int = 256, base_size: int = 320, **kwargs):
         super().__init__([str(i) for i in range(num_images)], is_train,
-                         image_size, seed=kwargs.get("seed", 0))
+                         image_size, seed=kwargs.get("seed", 0),
+                         uint8_io=kwargs.get("uint8_io", False))
         self.base_size = base_size
 
     def _load(self, index: int) -> np.ndarray:
@@ -159,4 +177,4 @@ class SyntheticImageDataset(BaseImageDataset):
         ], axis=-1)
         img = 0.7 * img + 0.3 * rng.standard_normal((s, s, 3)).astype(np.float32)
         u8 = np.clip((img * 0.25 + 0.5) * 255, 0, 255).astype(np.uint8)
-        return uint8_to_tensor(u8)
+        return u8 if self.uint8_io else uint8_to_tensor(u8)

@@ -162,6 +162,7 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
 
         def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults,
                     loss_consts):
+            batch = self.batch_to_float(batch)
             rng_g, rng_anchor = jax.random.split(rng)
             anchor = self._anchor_images(state.params, batch, rate_ind, beta,
                                          rng_anchor)

@@ -119,6 +119,8 @@ class RateDistortionTrainer(BaseTrainer):
 
         def step_fn(state: TrainState, batch, rate_ind, beta, rng, mults,
                     loss_consts):
+            batch = self.batch_to_float(batch)
+
             def loss_fn(params):
                 losses, out, summary = self._g_losses(params, batch, rate_ind,
                                                       beta, rng, mults,

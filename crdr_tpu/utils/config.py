@@ -171,6 +171,9 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
                         help="data-parallel device count (Mesh over ICI)")
     parser.add_argument("--distributed", action="store_true",
                         help="initialize jax.distributed (multi-host pods)")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="resume from the newest checkpoint in the "
+                             "experiment dir (crash resilience)")
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--use_wandb", action="store_true")
     args = parser.parse_args(argv)
@@ -188,6 +191,7 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
         cfg["num_workers"] = args.num_workers
     cfg["device"] = args.device
     cfg["distributed"] = bool(args.distributed)
+    cfg["auto_resume"] = bool(args.auto_resume)
     cfg["dry_run"] = bool(args.dry_run)
     cfg["use_wandb"] = bool(args.use_wandb)
     cfg["debug"] = bool(args.debug)

@@ -34,9 +34,30 @@ def main(argv=None):
     enable_compilation_cache()
     logger = get_root_logger(log_file=opt.path.log_file_path)
     logger.info(f"experiment: {opt.exp} (host {opt.host})")
+    if opt.get("auto_resume") and not opt.start_iter:
+        itr = _latest_checkpoint_iter(opt)
+        if itr:
+            opt["start_iter"] = itr
+            logger.info(f"auto-resume from iter {itr}")
     opt.dump(opt.path.config_dump_path)
     trainer = build_trainer(opt)
     trainer.train_loop()
+
+
+def _latest_checkpoint_iter(opt) -> int:
+    """Newest comp_model checkpoint iteration in the experiment dir (0 if
+    none).  Filenames use the PathHandler iter2str layout (e.g. iter15K)."""
+    import re
+    from glob import glob
+
+    iters = []
+    for p in glob(os.path.join(opt.ckpt_root, opt.exp, "model",
+                               "comp_model_iter*.ckpt")):
+        m = re.search(r"iter(\d+)([KM]?)\.ckpt$", os.path.basename(p))
+        if m:
+            mult = {"": 1, "K": 1000, "M": 1000000}[m.group(2)]
+            iters.append(int(m.group(1)) * mult)
+    return max(iters) if iters else 0
 
 
 if __name__ == "__main__":

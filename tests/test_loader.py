@@ -76,3 +76,21 @@ def test_prefetch_bounded():
     # drain the rest; generator cleanup must not deadlock
     rest = list(it)
     assert len(rest) == 7
+
+
+def test_uint8_io_matches_float_pipeline():
+    """uint8_io ships uint8 crops; converting with the uint8_to_tensor
+    formula must reproduce the float pipeline exactly."""
+    from crdr_tpu.utils.config import ConfigDict
+    from crdr_tpu.utils.img_utils import uint8_to_tensor
+
+    common = {"name": "", "type": "SyntheticImageDataset", "num_images": 6,
+              "image_size": 48, "base_size": 64, "seed": 4}
+    ds_f = build_dataset(ConfigDict(common), is_train=True)
+    ds_u = build_dataset(ConfigDict({**common, "uint8_io": True}),
+                         is_train=True)
+    for i in range(len(ds_f)):
+        a = ds_f[i]["real_images"]
+        b = ds_u[i]["real_images"]
+        assert b.dtype == np.uint8
+        np.testing.assert_array_equal(uint8_to_tensor(b), a)

@@ -118,3 +118,38 @@ def test_stage3_gan_trainer_steps(tmp_path):
     for key in ("distortion", "rate", "perceptual", "adv", "d_real", "d_fake"):
         assert np.isfinite(log[key]), key
     assert _params_differ(d0, trainer.state.d_params)
+
+
+def test_uint8_batch_matches_float_batch(tmp_path):
+    """The jitted step converts uint8 batches on device with the exact
+    uint8_to_tensor formula — the loss must equal the float-batch step."""
+    import copy
+    import jax.numpy as jnp
+
+    cfg = _train_cfg(tmp_path / "f")
+    t_f = build_trainer(copy.deepcopy(cfg))
+    cfg_u = _train_cfg(tmp_path / "u")
+    cfg_u.dataset.train_dataset["uint8_io"] = True
+    t_u = build_trainer(cfg_u)
+
+    data_f = next(iter(t_f.train_loader))
+    data_u = next(iter(t_u.train_loader))
+    assert data_u["real_images"].dtype == np.uint8
+    log_f = t_f.optimize_parameters(1, data_f)
+    log_u = t_u.optimize_parameters(1, data_u)
+    assert abs(log_f["total"] - log_u["total"]) < 1e-5, (log_f, log_u)
+
+
+def test_latest_checkpoint_iter(tmp_path):
+    import os
+
+    from scripts.train import _latest_checkpoint_iter
+    from crdr_tpu.utils.config import ConfigDict
+
+    d = tmp_path / "exp" / "model"
+    os.makedirs(d)
+    for n in ("comp_model_iter15K.ckpt", "comp_model_iter500.ckpt",
+              "training_state_iter15K.ckpt"):
+        (d / n).touch()
+    opt = ConfigDict({"ckpt_root": str(tmp_path), "exp": "exp"})
+    assert _latest_checkpoint_iter(opt) == 15000
