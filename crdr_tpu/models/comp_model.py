@@ -24,6 +24,7 @@ decode interleaves per-slice device programs with streaming host decode.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
@@ -821,16 +822,30 @@ class BaseModel:
         ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
         bt = self._dev_scalar("b", beta) if self.use_beta else None
         decoders = [RansStreamDecoder(ys) for ys in y_strs]
+
+        def _dec_one(j, idx_np):
+            return decoders[j].decode(
+                idx_np[j].transpose(2, 0, 1).reshape(-1),
+                self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                self.codec_y.offset)
+
+        # per-image rANS states are independent; the C decode releases the
+        # GIL, so a thread pool parallelizes the host side on multi-core
+        # serving hosts (n==1 and 1-core hosts degrade to the serial loop)
+        pool = None
+        if n > 1 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(min(n, os.cpu_count() or 1))
         y_slices: List[Array] = []
         try:
             for i in range(ns):
                 idx_np = np.asarray(idx).astype(np.int32)  # [n, h, w, sc]
-                dec = np.stack([
-                    decoders[j].decode(
-                        idx_np[j].transpose(2, 0, 1).reshape(-1),
-                        self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                        self.codec_y.offset)
-                    for j in range(n)])
+                if pool is not None:
+                    dec = np.stack(list(pool.map(
+                        lambda j: _dec_one(j, idx_np), range(n))))
+                else:
+                    dec = np.stack([_dec_one(j, idx_np) for j in range(n)])
                 sym = jax.device_put(
                     dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
                     .astype(np.int16), dev)
@@ -845,6 +860,8 @@ class BaseModel:
                     fake, y_hat = self._codec_fn("decode_final")(
                         cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
             for d in decoders:
                 d.close()
         fake = np.asarray(fake)

@@ -155,16 +155,13 @@ def main(argv=None):
             _fail(f"demo avg bpp {avg:.4f} != {GOLDEN_DEMO_BPP} "
                   f"(tol {DEMO_TOL})")
 
-    # ---- 17-point sweep ----
+    # ---- 17-point sweep (batched: one device dispatch set per quality
+    # for each same-size image group) ----
     if not args.demo_only:
         golden = _load_golden(args.rd_csv, args.beta) if args.rd_csv else None
         sweep = []
         for q in SWEEP_QUALITIES:
-            bpps, psnrs = [], []
-            for _, img in images:
-                bpp, psnr, _ = _roundtrip(model, img, q, args.beta)
-                bpps.append(bpp)
-                psnrs.append(psnr)
+            bpps, psnrs = _sweep_point(model, images, q, args.beta)
             row = {"quality": q, "bpp": float(np.mean(bpps)),
                    "psnr": float(np.mean(psnrs))}
             sweep.append(row)
@@ -191,6 +188,31 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"PARITY OK — report written to {args.out}")
+
+
+def _sweep_point(model, images, q, beta):
+    """(bpps, psnrs) for one quality, batching same-size images through
+    compress_batch/decompress_batch (streams identical to per-image)."""
+    from crdr_tpu.utils.img_utils import calc_psnr
+
+    groups = {}
+    for name, img in images:
+        groups.setdefault(img.shape, []).append(img)
+    bpps, psnrs = [], []
+    for imgs in groups.values():
+        batch = np.stack(imgs)
+        H, W = batch.shape[1:3]
+        kw = {"rate_ind": q} if model.use_rate else {}
+        encs = model.compress_batch(batch, **kw)
+        dec_kw = {"beta": beta} if model.use_beta else {}
+        fakes, _, _ = model.decompress_batch(
+            [e["string_list"] for e in encs], **dec_kw)
+        fakes = np.asarray(fakes)
+        for j, enc in enumerate(encs):
+            bits = sum(len(s) + 4 for s in enc["string_list"]) * 8
+            bpps.append(bits / (H * W))
+            psnrs.append(float(calc_psnr(batch[j:j + 1], fakes[j:j + 1])))
+    return bpps, psnrs
 
 
 def _load_golden(csv_path, beta):
