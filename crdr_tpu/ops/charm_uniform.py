@@ -97,7 +97,7 @@ def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
     b2 = jnp.take(packed[f"{kind}2_b"], idx, axis=0)
     w4 = jnp.take(packed[f"{kind}4_w"], idx, axis=0)
     b4 = jnp.take(packed[f"{kind}4_b"], idx, axis=0)
-    if actv == "relu" and x.shape[0] == 1 and _fused_enabled(x):
+    if actv == "relu" and _fused_enabled(x):
         from .pallas_slice_transform import pallas_slice_transform
 
         return pallas_slice_transform(x, w0, b0, w2, b2, w4, b4)

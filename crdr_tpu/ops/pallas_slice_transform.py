@@ -29,34 +29,45 @@ Array = jax.Array
 _MAX_POSITIONS = 64 * 96
 
 
-def _conv_taps(x_pad_ref, w_ref, H: int, W: int, K: int, cin: int, cout: int):
-    """Sum_{t<K*K} x_pad[dy:dy+H, dx:dx+W] @ w[t]; returns f32 (H*W, cout)."""
+def _conv_taps(read, w_ref, H: int, W: int, K: int, cin: int, cout: int):
+    """Sum_{t<K*K} read(dy, dx) @ w[t]; ``read`` slices the padded input REF
+    (Mosaic lowers ref slices; slicing a loaded value does not lower).
+    Returns f32 (H*W, cout)."""
     acc = jnp.zeros((H * W, cout), jnp.float32)
     for t in range(K * K):
         dy, dx = divmod(t, K)
-        xs = x_pad_ref[dy:dy + H, dx:dx + W, :].reshape(H * W, cin)
-        acc = acc + jnp.dot(xs, w_ref[t], preferred_element_type=jnp.float32)
+        xs = read(dy, dx).reshape(H * W, cin)
+        # explicit DEFAULT precision: the kernel's contract is bf16 compute /
+        # f32 accum, and callers trace it under the codec's `highest` scope,
+        # which Mosaic rejects for bf16 operands
+        acc = acc + jnp.dot(xs, w_ref[t],
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
     return acc
 
 
 def _fused_kernel(x_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
                   out_ref, h0_ref, h1_ref, *, H: int, W: int, cin: int,
                   c0: int, c1: int, cout: int):
+    # one grid step = one batch element; blocks carry a leading dim of 1
     # stage 1: conv5x5 (pad 2) + relu -> h0 (padded buffer, border zeroed)
     h0_ref[:] = jnp.zeros_like(h0_ref)
-    acc = _conv_taps(x_ref, w0_ref, H, W, 5, cin, c0)
+    acc = _conv_taps(lambda dy, dx: x_ref[0, dy:dy + H, dx:dx + W, :],
+                     w0_ref, H, W, 5, cin, c0)
     h0 = jax.nn.relu(acc + b0_ref[:]).astype(h0_ref.dtype)
     h0_ref[2:2 + H, 2:2 + W, :] = h0.reshape(H, W, c0)
 
     # stage 2: conv5x5 (pad 2) + relu -> h1
     h1_ref[:] = jnp.zeros_like(h1_ref)
-    acc = _conv_taps(h0_ref, w2_ref, H, W, 5, c0, c1)
+    acc = _conv_taps(lambda dy, dx: h0_ref[dy:dy + H, dx:dx + W, :],
+                     w2_ref, H, W, 5, c0, c1)
     h1 = jax.nn.relu(acc + b2_ref[:]).astype(h1_ref.dtype)
     h1_ref[1:1 + H, 1:1 + W, :] = h1.reshape(H, W, c1)
 
     # stage 3: conv3x3 (pad 1) -> out (f32)
-    acc = _conv_taps(h1_ref, w4_ref, H, W, 3, c1, cout)
-    out_ref[:] = (acc + b4_ref[:]).reshape(H, W, cout)
+    acc = _conv_taps(lambda dy, dx: h1_ref[dy:dy + H, dx:dx + W, :],
+                     w4_ref, H, W, 3, c1, cout)
+    out_ref[0] = (acc + b4_ref[:]).reshape(H, W, cout)
 
 
 @functools.partial(jax.jit,
@@ -64,22 +75,22 @@ def _fused_kernel(x_ref, w0_ref, b0_ref, w2_ref, b2_ref, w4_ref, b4_ref,
 def pallas_slice_transform(x: Array, w0: Array, b0: Array, w2: Array,
                            b2: Array, w4: Array, b4: Array,
                            interpret: bool = False) -> Array:
-    """x: [1, H, W, Cin].  w0: [5,5,Cin,C0], w2: [5,5,C0,C1], w4: [3,3,C1,Cout].
+    """x: [N, H, W, Cin].  w0: [5,5,Cin,C0], w2: [5,5,C0,C1], w4: [3,3,C1,Cout].
 
-    Returns [1, H, W, Cout] (f32).  Matches the composed XLA convs up to
+    Returns [N, H, W, Cout] (f32); the batch rides the Pallas grid (one
+    image per step, weights resident).  Matches the composed XLA convs up to
     bf16-compute accuracy.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert x.shape[0] == 1, "fused slice transform is per-image"
-    _, H, W, cin = x.shape
+    N, H, W, cin = x.shape
     c0 = w0.shape[-1]
     c1 = w2.shape[-1]
     cout = w4.shape[-1]
 
     cd = jnp.bfloat16
-    x_pad = jnp.pad(x[0], ((2, 2), (2, 2), (0, 0))).astype(cd)
+    x_pad = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0))).astype(cd)
     w0f = w0.reshape(25, cin, c0).astype(cd)
     w2f = w2.reshape(25, c0, c1).astype(cd)
     w4f = w4.reshape(9, c1, cout).astype(cd)
@@ -89,18 +100,30 @@ def pallas_slice_transform(x: Array, w0: Array, b0: Array, w2: Array,
 
     kernel = functools.partial(_fused_kernel, H=H, W=W, cin=cin, c0=c0,
                                c1=c1, cout=cout)
+    # grid over the batch: each step streams one image's padded latent into
+    # VMEM; weights/biases are whole-block (same every step)
+    whole = lambda shape: pl.BlockSpec(shape, lambda n: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W, cout), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(N,),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, cout), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, H + 4, W + 4, cin), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            whole((25, cin, c0)), whole((1, c0)),
+            whole((25, c0, c1)), whole((1, c1)),
+            whole((9, c1, cout)), whole((1, cout)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, cout), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H + 4, W + 4, c0), cd),
             pltpu.VMEM((H + 2, W + 2, c1), cd),
         ],
         interpret=interpret,
     )(x_pad, w0f, b0r, w2f, b2r, w4f, b4r)
-    return out[None]
+    return out
 
 
 def slice_transform_reference(x, w0, b0, w2, b2, w4, b4):

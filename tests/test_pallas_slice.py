@@ -38,3 +38,21 @@ def test_fits_fused_bound():
     assert fits_fused(32, 48)       # Kodak latent
     assert fits_fused(64, 96)       # 1024x1536 image
     assert not fits_fused(128, 128)  # 2K-class: use the XLA path
+
+
+def test_fused_batched_matches_composed():
+    rng = np.random.default_rng(1)
+    h, w = 6, 8
+    args = _make(rng, h, w, cin=16, c0=24, c1=16, cout=8)
+    x1 = jnp.asarray(rng.standard_normal((4, h, w, 16)), jnp.float32)
+    args = (x1,) + args[1:]
+    ref = slice_transform_reference(*args)
+    out = pallas_slice_transform(*args, interpret=True)
+    assert out.shape == (4, h, w, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.05,
+                               atol=0.05)
+    # per-image independence: batch result equals per-image kernel calls
+    for i in range(4):
+        one = pallas_slice_transform(x1[i:i + 1], *args[1:], interpret=True)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(one[0]),
+                                   rtol=1e-6, atol=1e-6)
