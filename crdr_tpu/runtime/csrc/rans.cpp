@@ -163,23 +163,30 @@ int64_t rans_encode_with_indexes(const int32_t *symbols, const int32_t *indexes,
     if (idx < 0 || idx >= cdf_rows) return -1;
     const int32_t *cdf = cdfs + static_cast<int64_t>(idx) * cdf_cols;
     const int32_t max_value = cdf_lengths[idx] - 2;
-    int32_t value = symbols[i] - offsets[idx];
+    const int64_t folded = static_cast<int64_t>(symbols[i]) - offsets[idx];
+    int32_t value;
 
+    // zig-zag fold in 64-bit: for |folded| near INT32_MAX the 2x doubling
+    // would overflow int32 (UB); raw_val itself always fits 32 bits.
     uint32_t raw_val = 0;
-    if (value < 0) {
-      raw_val = static_cast<uint32_t>(-2 * value - 1);
+    if (folded < 0) {
+      raw_val = static_cast<uint32_t>(-2 * folded - 1);
       value = max_value;
-    } else if (value >= max_value) {
-      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+    } else if (folded >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (folded - max_value));
       value = max_value;
+    } else {
+      value = static_cast<int32_t>(folded);
     }
     syms.push_back({static_cast<uint16_t>(cdf[value]),
                     static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false});
 
     if (value == max_value) {
-      // chunk-count prefix, then the 4-bit chunks (LSB first)
+      // chunk-count prefix, then the 4-bit chunks (LSB first).  Count by
+      // shifting a copy down (a `raw_val >> (n*4)` probe hits shift-by-32
+      // UB — an infinite loop on x86 — once raw_val needs 8 chunks).
       uint32_t n_bypass = 0;
-      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      for (uint32_t v = raw_val; v != 0; v >>= kBypassPrecision) ++n_bypass;
       uint32_t val = n_bypass;
       while (val >= kMaxBypassVal) {
         syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
@@ -246,16 +253,15 @@ static void decode_symbols(RansDecState &st, const int32_t *indexes, int64_t n,
         val = st.get_bits(kBypassPrecision);
         n_bypass += val;
       }
-      uint32_t raw_val = 0;
-      for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= st.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      uint64_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass && j * kBypassPrecision < 64; ++j) {
+        raw_val |= static_cast<uint64_t>(st.get_bits(kBypassPrecision))
+                   << (j * kBypassPrecision);
       }
-      value = static_cast<int32_t>(raw_val >> 1);
-      if (raw_val & 1) {
-        value = -value - 1;
-      } else {
-        value += max_value;
-      }
+      const int64_t mag = static_cast<int64_t>(raw_val >> 1);
+      const int64_t unfolded = (raw_val & 1) ? -mag - 1 : mag + max_value;
+      out[i] = static_cast<int32_t>(unfolded + offsets[idx]);
+      continue;
     }
     out[i] = value + offsets[idx];
   }

@@ -278,8 +278,11 @@ class GANRateDistortionTrainer(RateDistortionTrainer):
         try:
             ckpt = load_pytree(ph.get_ckpt_path("discriminator", itr))
             self.state = self.state.replace(
-                d_params=_restore_like(self.state.d_params,
-                                       ckpt["discriminator"]["params"]))
+                d_params=_restore_like(
+                    self.state.d_params, ckpt["discriminator"]["params"],
+                    name="d_params",
+                    strict=bool(self.opt.get("strict_resume", False)),
+                    logger=self.logger))
         except FileNotFoundError:
             self.logger.warning("discriminator checkpoint not found")
 

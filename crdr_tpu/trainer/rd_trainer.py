@@ -211,25 +211,58 @@ class RateDistortionTrainer(BaseTrainer):
         self.comp_model.params = self.state.params
         if load_optimizer:
             ts_path = ph.get_ckpt_path("training_state", itr)
+            strict = bool(self.opt.get("strict_resume", False))
             try:
                 ts = load_pytree(ts_path)
                 self.state = self.state.replace(
                     opt_state=_restore_like(self.state.opt_state,
-                                            ts["opt_state"]),
+                                            ts["opt_state"], name="opt_state",
+                                            strict=strict, logger=self.logger),
                     aux_opt_state=_restore_like(self.state.aux_opt_state,
-                                                ts.get("aux_opt_state")))
+                                                ts.get("aux_opt_state"),
+                                                name="aux_opt_state",
+                                                strict=strict,
+                                                logger=self.logger))
             except FileNotFoundError:
                 self.logger.warning(f"no training state at {ts_path}")
         self.logger.info(f"checkpoint loaded: exp={exp} iter={itr}")
 
 
-def _restore_like(template, data):
-    """Restore a serialized pytree into the structure of ``template``."""
+def _restore_like(template, data, name="state", strict=False, logger=None):
+    """Restore a serialized pytree into the structure of ``template``.
+
+    A topology change between save and resume (renamed/added/removed params)
+    is surfaced loudly: the reference loads optimizer state strictly
+    (rate_distortion_trainer.py:115-163 via torch load_state_dict), so a
+    silent re-initialization of Adam moments would be a behavior divergence.
+    ``strict=False`` warns and restarts from the fresh template;
+    ``strict=True`` (config ``strict_resume: true``) raises.
+    """
     if data is None or template is None:
         return template
     leaves_t, treedef = jax.tree_util.tree_flatten(template)
     leaves_d = jax.tree_util.tree_leaves(data)
+    mismatch = None
     if len(leaves_t) != len(leaves_d):
+        mismatch = (f"leaf count {len(leaves_d)} in checkpoint vs "
+                    f"{len(leaves_t)} expected")
+    else:
+        for i, (t, d) in enumerate(zip(leaves_t, leaves_d)):
+            t_shape = tuple(np.shape(t))
+            d_shape = tuple(np.shape(d))
+            if t_shape != d_shape:
+                mismatch = (f"leaf {i} has shape {d_shape} in checkpoint vs "
+                            f"{t_shape} expected")
+                break
+    if mismatch:
+        msg = (f"optimizer state '{name}' does not match the current "
+               f"parameter topology ({mismatch}) — the model changed between "
+               f"save and resume")
+        if strict:
+            raise ValueError(msg + " (strict_resume is set)")
+        (logger.warning if logger else
+         __import__("warnings").warn)(
+            msg + "; re-initializing this optimizer state from scratch")
         return template
     return jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(d) for d in leaves_d])

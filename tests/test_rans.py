@@ -110,6 +110,75 @@ def test_rans_deterministic():
 
 
 # ---------------------------------------------------------------------------
+# Cross-validation against the independent from-spec Python model
+# (tests/rans_spec_model.py) — two implementations of the shared public
+# contract must agree byte-for-byte in both directions.
+# ---------------------------------------------------------------------------
+
+
+def test_spec_model_quantizer_agrees():
+    """CDF quantization must match the native quantizer bit-exactly: the
+    rANS tables (and every stream) depend on its rounding."""
+    from tests import rans_spec_model as spec
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(1, 80))
+        pmf = (rng.random(n) + 1e-7).astype(np.float64)
+        pmf = pmf / pmf.sum()
+        tail = float(rng.random() * 1e-2 + 1e-9)
+        full = np.concatenate([pmf * (1 - tail), [tail]]).astype(np.float32)
+        ours = pmf_to_quantized_cdf(full, 16)
+        theirs = np.asarray(spec.quantize_pmf(full), dtype=np.int32)
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_spec_model_fuzz_byte_parity():
+    """1k random cases: native and from-spec streams agree byte-for-byte and
+    each decoder accepts the other's stream (incl. escape/bypass extremes)."""
+    from tests import rans_spec_model as spec
+
+    n_checked = 0
+    for case in spec.fuzz_cases(1000, seed=42):
+        args = (case["indexes"], case["cdfs"], case["cdf_lengths"],
+                case["offsets"])
+        native = rans_encode_with_indexes(case["symbols"], *args)
+        oracle = spec.encode(case["symbols"], *args)
+        assert native == oracle, f"{case['name']}: stream bytes differ"
+        np.testing.assert_array_equal(
+            rans_decode_with_indexes(oracle, *args), case["symbols"],
+            err_msg=f"{case['name']}: native decoder rejects oracle stream")
+        np.testing.assert_array_equal(
+            spec.decode(native, *args), case["symbols"],
+            err_msg=f"{case['name']}: oracle decoder rejects native stream")
+        n_checked += 1
+    assert n_checked == 1000
+
+
+def test_spec_model_streaming_parity():
+    """The oracle's streaming decoder consumes a native stream in random
+    slices (the Charm serial-decode access pattern)."""
+    from tests import rans_spec_model as spec
+
+    rng = np.random.default_rng(3)
+    cdfs, lengths, offsets = _gaussian_cdf_table([0.3, 2.0, 10.0])
+    n = 2000
+    indexes = rng.integers(0, 3, n).astype(np.int32)
+    symbols = np.round(rng.normal(0, 6, n)).astype(np.int32)
+    stream = rans_encode_with_indexes(symbols, indexes, cdfs, lengths, offsets)
+
+    dec = spec.Decoder(stream)
+    out = []
+    start = 0
+    while start < n:
+        step = int(rng.integers(1, 400))
+        sl = slice(start, min(start + step, n))
+        out.extend(dec.decode(indexes[sl], cdfs, lengths, offsets))
+        start += step
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.int32), symbols)
+
+
+# ---------------------------------------------------------------------------
 # CompressAI wire-format cross-validation (fixture captured by
 # scripts/capture_rans_vectors.py in a compressai-equipped environment)
 # ---------------------------------------------------------------------------
