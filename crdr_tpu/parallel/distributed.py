@@ -17,7 +17,8 @@ from ..utils.logger import get_root_logger
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
+                     process_id: Optional[int] = None,
+                     init_timeout: Optional[int] = None) -> bool:
     """Initialize jax.distributed from args or the standard env vars
     (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID, or TPU metadata when
     on Cloud TPU).  Returns True when multi-process mode is active."""
@@ -31,12 +32,22 @@ def init_distributed(coordinator_address: Optional[str] = None,
     logger = get_root_logger()
     try:
         if coordinator_address:
+            kw = ({"initialization_timeout": init_timeout}
+                  if init_timeout else {})
             jax.distributed.initialize(coordinator_address, num_processes,
-                                       process_id)
+                                       process_id, **kw)
         else:
             # Cloud TPU pods auto-discover via metadata; single host no-ops
             jax.distributed.initialize()
-    except Exception as e:  # single-host / already initialized
+    except Exception as e:
+        if coordinator_address:
+            # The pod was EXPLICITLY configured: a silent fall-back to
+            # single-host would train on 1/N of the data with no warning.
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for explicitly "
+                f"configured pod (coordinator={coordinator_address}, "
+                f"num_processes={num_processes}, process_id={process_id})"
+            ) from e
         logger.debug(f"jax.distributed not initialized ({e}); single host")
         return False
     logger.info(f"distributed: process {jax.process_index()} / "
