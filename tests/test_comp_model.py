@@ -171,3 +171,38 @@ def test_hyperprior_model_no_charm():
     np.testing.assert_allclose(y_hat, enc["y_hat"], rtol=1e-4, atol=1e-4)
     out = model.run_model(x, is_train=False)
     assert out["fake_images"].shape == x.shape
+
+
+def test_generic_fused_encode_matches_host_pipeline():
+    """The fused single-dispatch generic encode (encode_full_generic) must
+    produce byte-identical streams to the step-by-step host pipeline
+    (encode_latents -> host z-round -> compress_params -> host
+    build_indexes -> codec compress), proving device-side rounding and
+    scale-table indexing agree with the host codec."""
+    model = build_comp_model(tiny_opt("HyperpriorModel", charm=False,
+                                      rate=False, beta=False))
+    model.init_params(input_size=64)
+    model.codec_setup()
+    x = np.random.default_rng(11).uniform(-1, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+
+    enc = model.compress_batch(x)
+
+    # independent host-side pipeline over the individual device programs
+    xp = jnp.asarray(model.data_preprocess(x, is_train=False))
+    y, z = model._codec_fn("encode_latents")(model.params, xp, None)
+    y_np, z_np = np.asarray(y), np.asarray(z)
+    med = model.codec_z.medians()[None, None, None, :]
+    z_hat_np = np.round(z_np - med) + med
+    z_str = model.codec_z.compress(z_np)
+    y_mean, y_scale, y_hat, _ = model._codec_fn("compress_params")(
+        model.params, jnp.asarray(y_np), jnp.asarray(z_hat_np))
+    indexes = model.codec_y.build_indexes(np.asarray(y_scale))
+    y_str = model.codec_y.compress(y_np, indexes, means=np.asarray(y_mean))
+
+    for i in range(2):
+        assert enc[i]["string_list"][1] == z_str[i], f"z stream {i} differs"
+        assert enc[i]["string_list"][2] == y_str[i], f"y stream {i} differs"
+        np.testing.assert_allclose(np.asarray(enc[i]["y_hat"]),
+                                   np.asarray(y_hat)[i:i + 1],
+                                   rtol=1e-5, atol=1e-5)

@@ -132,3 +132,43 @@ def test_psnr_uint8_semantics():
     val = calc_psnr(a, a)
     assert val == float("inf")
     assert calc_psnr(a, b) < 60
+
+
+def test_aux_convergence_guard(tmp_path):
+    """check_aux_convergence: converged chase passes, still-climbing fails,
+    warm-started small-absolute passes, resume-overlap rows are deduped."""
+    import csv as _csv
+
+    from scripts.check_aux_convergence import check_aux_convergence
+
+    def write(name, rows):
+        p = tmp_path / name
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["iter", "aux"])
+            w.writerows(rows)
+        return str(p)
+
+    # chase then collapse (stage-1 shape), with a resume-overlap duplicate
+    rows = [(i, 100 + i) for i in range(0, 5000, 100)]          # climb
+    rows += [(i, 5100 - (i - 5000)) for i in range(5000, 9900, 100)]  # fall
+    rows += [(9900, 30.0), (9900, 31.0)]                        # dup iter
+    ok, diag = check_aux_convergence(write("good.csv", rows))
+    assert ok, diag
+
+    # still climbing at the end -> fail
+    rows = [(i, 10 + i) for i in range(0, 10000, 100)]
+    ok, diag = check_aux_convergence(write("bad.csv", rows))
+    assert not ok, diag
+
+    # warm start: flat and small in absolute terms -> pass
+    rows = [(i, 20.0 + 0.01 * ((i // 100) % 3)) for i in range(0, 10000, 100)]
+    ok, diag = check_aux_convergence(write("warm.csv", rows))
+    assert ok, diag
+
+    # the committed stage-1 endurance artifact passes
+    art = os.path.join(os.path.dirname(__file__), "..", "docs", "artifacts",
+                       "endurance_stage1_loss.csv")
+    if os.path.exists(art):
+        ok, diag = check_aux_convergence(art)
+        assert ok, diag
