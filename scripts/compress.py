@@ -54,6 +54,21 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _finish_chunk(fut, args, logger, rows, bpps, decode_fn):
+    """Drain one pipelined chunk: join its encode future, run the decode
+    stage on the main thread, record + log its rows."""
+    names, chunk_rows = fut.result()
+    if args.decompress:
+        decode_fn(names, chunk_rows)
+    for row in chunk_rows:
+        rows.append(row)
+        bpps.append(row["real_bpp"])
+        logger.info(
+            f"{row['name']}: bpp {row['real_bpp']:.4f} "
+            f"(pred {row['pred_bpp']:.4f}) enc {row['enc_time']:.2f}s"
+            + (f" dec {row['dec_time']:.2f}s" if args.decompress else ""))
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.device:
@@ -100,9 +115,9 @@ def main(argv=None):
         if cur:
             yield cur
 
-    rows = []
-    bpps = []
-    for chunk in _chunks():
+    def _encode_chunk(chunk):
+        """Encode stage: imread batch -> compress_batch -> .bin files + rows.
+        Runs one chunk ahead of the decode stage (see pipeline below)."""
         names = [n for n, _ in chunk]
         imgs = np.stack([im for _, im in chunk])
         H, W = imgs.shape[1:3]
@@ -120,7 +135,6 @@ def main(argv=None):
             save_byte_strings(bin_path, enc["string_list"])
             real_bits = os.path.getsize(bin_path) * 8
             real_bpp = real_bits / (H * W)
-            bpps.append(real_bpp)
             chunk_rows.append({
                 "name": name,
                 "header_bit": len(enc["string_list"][0]) * 8,
@@ -133,26 +147,43 @@ def main(argv=None):
                 "pred_bpp": enc["pred_y_bpp"] + enc["pred_z_bpp"],
                 "enc_time": enc_time,
             })
-        if args.decompress:
-            strings = [load_byte_strings(
-                os.path.join(args.save_dir, f"{n}.bin")) for n in names]
-            t0 = time.perf_counter()
-            dec_kwargs = {}
-            if model.use_beta:
-                dec_kwargs["beta"] = args.beta if args.beta >= 0 else 0.0
-            fakes, z_hat, y_hat = model.decompress_batch(strings, **dec_kwargs)
-            dec_time = (time.perf_counter() - t0) / len(chunk)
-            fakes = np.asarray(fakes)
-            for j, (name, row) in enumerate(zip(names, chunk_rows)):
-                row["dec_time"] = dec_time
-                imwrite(os.path.join(args.save_dir, f"{name}.png"),
-                        fakes[j:j + 1])
-        for row in chunk_rows:
-            rows.append(row)
-            logger.info(
-                f"{row['name']}: bpp {row['real_bpp']:.4f} "
-                f"(pred {row['pred_bpp']:.4f}) enc {row['enc_time']:.2f}s"
-                + (f" dec {row['dec_time']:.2f}s" if args.decompress else ""))
+        return names, chunk_rows
+
+    def _decode_chunk(names, chunk_rows):
+        """Decode stage (main thread): reload .bin -> decompress_batch -> PNG."""
+        strings = [load_byte_strings(
+            os.path.join(args.save_dir, f"{n}.bin")) for n in names]
+        t0 = time.perf_counter()
+        dec_kwargs = {}
+        if model.use_beta:
+            dec_kwargs["beta"] = args.beta if args.beta >= 0 else 0.0
+        fakes, z_hat, y_hat = model.decompress_batch(strings, **dec_kwargs)
+        dec_time = (time.perf_counter() - t0) / len(names)
+        fakes = np.asarray(fakes)
+        for j, (name, row) in enumerate(zip(names, chunk_rows)):
+            row["dec_time"] = dec_time
+            imwrite(os.path.join(args.save_dir, f"{name}.png"),
+                    fakes[j:j + 1])
+
+    # Two-stage serving pipeline: the encode of chunk k+1 (worker thread)
+    # overlaps the decode of chunk k (main thread).  The Charm decode loop is
+    # RTT-floor-bound behind a remote-attached chip, so the next chunk's
+    # encode compute and host rANS hide under it almost entirely; streams and
+    # outputs are byte-identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = []
+    bpps = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        for chunk in _chunks():
+            fut = ex.submit(_encode_chunk, chunk)
+            if pending is not None:
+                _finish_chunk(pending, args, logger, rows, bpps,
+                              _decode_chunk)
+            pending = fut
+        if pending is not None:
+            _finish_chunk(pending, args, logger, rows, bpps, _decode_chunk)
 
     import pandas as pd
 
