@@ -26,12 +26,16 @@ class BaseImageDataset:
                  image_size: int = 256,
                  resize_range: Optional[Tuple[float, float]] = None,
                  interpolation: str = "bicubic", seed: Optional[int] = None,
-                 uint8_io: bool = False):
+                 uint8_io: bool = False, repeat: int = 1):
         self.img_path_list = img_path_list
         self.is_train = is_train
         self.image_size = image_size
         self.resize_range = resize_range
         self.interpolation = interpolation
+        # repeat: virtually oversample a small source set so epochs stay
+        # larger than the batch size (each virtual index draws its own rng,
+        # so crops/flips differ across repeats)
+        self.repeat = max(int(repeat), 1)
         # uint8_io: keep samples as uint8 pixels end to end (crop/flip are
         # exact in uint8 — this matches the reference's PIL pipeline, which
         # transforms uint8 images and converts to tensor last) and let the
@@ -59,17 +63,18 @@ class BaseImageDataset:
         return np.random.default_rng([self._seed, index, k])
 
     def __len__(self) -> int:
-        return len(self.img_path_list)
+        return len(self.img_path_list) * self.repeat
 
     def _load(self, index: int) -> np.ndarray:
+        path = self.img_path_list[index % len(self.img_path_list)]
         if self.uint8_io:
             import cv2
 
-            bgr = cv2.imread(self.img_path_list[index], cv2.IMREAD_COLOR)
+            bgr = cv2.imread(path, cv2.IMREAD_COLOR)
             if bgr is None:
-                raise FileNotFoundError(self.img_path_list[index])
+                raise FileNotFoundError(path)
             return np.ascontiguousarray(bgr[..., ::-1])  # uint8 RGB
-        return imread(self.img_path_list[index])  # [-1,1] HWC
+        return imread(path)  # [-1,1] HWC
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         img = self._load(index)

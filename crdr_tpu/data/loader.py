@@ -52,6 +52,11 @@ class DataLoader:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if len(self) == 0:
+            raise ValueError(
+                f"empty loader: dataset has {len(self.dataset)} samples but "
+                f"batch_size={self.batch_size} with drop_last={self.drop_last}"
+                " — shrink the batch or set the dataset's `repeat` option")
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
         pool = ThreadPoolExecutor(max_workers=self.num_workers,

@@ -1,6 +1,7 @@
 """Multi-worker DataLoader: ordering, determinism, and concurrency."""
 
 import numpy as np
+import pytest
 
 from crdr_tpu.data import DataLoader, build_dataset
 from crdr_tpu.utils.config import ConfigDict
@@ -94,3 +95,36 @@ def test_uint8_io_matches_float_pipeline():
         b = ds_u[i]["real_images"]
         assert b.dtype == np.uint8
         np.testing.assert_array_equal(uint8_to_tensor(b), a)
+
+
+def test_dataset_repeat_oversampling(tmp_path):
+    """`repeat` virtually oversamples a tiny source set (3 images < batch 8)
+    with distinct per-virtual-index crops; an un-repeated tiny dataset makes
+    the loader fail loudly instead of raising inside cycle()."""
+    import cv2
+
+    from crdr_tpu.data.datasets import FolderImageDataset
+    from crdr_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"im{i}.png"),
+                    rng.integers(0, 256, (80, 96, 3), np.uint8))
+
+    ds = FolderImageDataset(str(tmp_path), is_train=True, image_size=32,
+                            seed=0, repeat=16)
+    assert len(ds) == 48
+    a = ds[0]["real_images"]
+    b = ds[3]["real_images"]  # same source image (3 % 3 == 0), new rng draw
+    assert a.shape == (32, 32, 3)
+    assert not np.array_equal(a, b)
+
+    loader = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=2, seed=0)
+    batch = next(iter(loader))
+    assert batch["real_images"].shape == (8, 32, 32, 3)
+
+    tiny = FolderImageDataset(str(tmp_path), is_train=True, image_size=32)
+    empty = DataLoader(tiny, batch_size=8, drop_last=True)
+    with pytest.raises(ValueError, match="empty loader"):
+        next(iter(empty))
