@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.registry import ENTROPYMODEL_REGISTRY
-from .ops import ste_round
+from .ops import lower_bound, ste_round
 
 Array = jax.Array
 
@@ -115,7 +115,8 @@ class EntropyBottleneck(nn.Module):
         lower = _logits_cumulative(p, x_chn - 0.5, nf, stop_gradient=False)
         upper = _logits_cumulative(p, x_chn + 0.5, nf, stop_gradient=False)
         lik = _likelihood_from_logits(lower, upper)
-        return jnp.maximum(lik, LIKELIHOOD_BOUND)
+        # LowerBound gradient rule, not a plain max — see gaussian_likelihood
+        return lower_bound(lik, LIKELIHOOD_BOUND)
 
     def __call__(self, x: Array, is_train: bool = True,
                  rng: Optional[Array] = None) -> Tuple[Array, Array]:

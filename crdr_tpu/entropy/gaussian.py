@@ -51,7 +51,11 @@ def gaussian_likelihood(values: Array, scales: Array,
     values = jnp.abs(values)
     upper = standardized_cumulative((0.5 - values) / scales)
     lower = standardized_cumulative((-0.5 - values) / scales)
-    return jnp.maximum(upper - lower, LIKELIHOOD_BOUND)
+    # the floor must use the LowerBound gradient rule (CompressAI
+    # entropy_models.py likelihood_lower_bound): a plain max() zeroes the
+    # rate gradient for floored symbols, making a transient likelihood
+    # collapse an absorbing state the model cannot train out of
+    return lower_bound(upper - lower, LIKELIHOOD_BOUND)
 
 
 @ENTROPYMODEL_REGISTRY.register()

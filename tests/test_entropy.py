@@ -166,3 +166,44 @@ def test_eb_codec_table_load_roundtrip():
     codec2.load_tables(codec.quantized_cdf, codec.cdf_length, codec.offset)
     z = np.random.default_rng(5).standard_normal((1, 4, 4, 4)).astype(np.float32)
     assert codec.compress(z)[0] == codec2.compress(z)[0]
+
+
+def test_likelihood_floor_passes_upward_gradient():
+    """CompressAI LowerBound rule at the likelihood floor: when every
+    likelihood is floored (collapsed entropy model), the rate gradient
+    w.r.t. the scales must be NONZERO so training can recover — a plain
+    max() clamp would zero it (absorbing state; seen as the checkerboard
+    bpp-38 divergence)."""
+    import jax
+
+    from crdr_tpu.entropy.gaussian import gaussian_likelihood
+
+    def rate(log_scales):
+        scales = jnp.exp(log_scales)
+        # symbols outside the support: raw likelihood ~5e-13, well
+        # under the 1e-9 floor but inside f32 erfc's representable range
+        values = jnp.full((8,), 3.0)
+        lik = gaussian_likelihood(values, scales, 0.11)
+        return -jnp.sum(jnp.log2(lik))
+
+    log_scales = jnp.full((8,), jnp.log(0.35))
+    g = jax.grad(rate)(log_scales)
+    assert float(jnp.abs(g).sum()) > 0.0, (
+        "rate gradient vanished at the likelihood floor")
+
+
+def test_likelihood_floor_blocks_downward_gradient():
+    """...but gradients that would push a floored likelihood further DOWN
+    are blocked (the other half of the LowerBound rule)."""
+    import jax
+
+    from crdr_tpu.entropy.gaussian import gaussian_likelihood
+
+    def neg_rate(log_scales):
+        scales = jnp.exp(log_scales)
+        values = jnp.full((8,), 3.0)
+        lik = gaussian_likelihood(values, scales, 0.11)
+        return jnp.sum(jnp.log2(lik))  # maximizing rate = pushing lik down
+
+    g = jax.grad(neg_rate)(jnp.full((8,), jnp.log(0.35)))
+    assert float(jnp.abs(g).sum()) == 0.0
