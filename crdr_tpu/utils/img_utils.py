@@ -79,15 +79,23 @@ def _fspecial_gauss_1d(size: int, sigma: float) -> jnp.ndarray:
 
 
 def _gaussian_blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-mode gaussian filter on NHWC."""
+    """Separable valid-mode gaussian filter on NHWC.
+
+    Precision is pinned to HIGHEST: on TPU the default conv precision is
+    bf16, whose ~1e-2 relative error in the blurred moments makes the
+    variance estimates inconsistent enough that SSIM/CS terms (mathematically
+    <= 1 for any real inputs) overshoot 1 by up to a few percent — observed
+    as MS-SSIM "1.0238" on full-resolution Kodak pairs."""
     c = x.shape[-1]
     kh = win.reshape(-1, 1, 1, 1) * jnp.ones((1, 1, 1, c))
     kw = win.reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x
 
 

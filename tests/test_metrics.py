@@ -84,3 +84,22 @@ def test_lpips_shapes():
     assert d.shape == (2,)
     d0 = mod.apply(variables, x, x)
     np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
+
+
+def test_ms_ssim_never_exceeds_one():
+    """Per-pixel SSIM/CS terms are mathematically <= 1 for ANY real inputs
+    (2ab+c <= a^2+b^2+c), so MS-SSIM must stay <= 1 up to float noise.
+    Guards the blur-precision pin in _gaussian_blur (bf16 TPU convs made
+    full-res pairs report 1.02+)."""
+    import numpy as np
+
+    from crdr_tpu.utils.img_utils import calc_ms_ssim
+
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        r = rng.uniform(-1, 1, (180, 260, 3)).astype(np.float32)
+        f = np.clip(r + rng.normal(0, rng.uniform(0.001, 0.2), r.shape)
+                    .astype(np.float32), -1, 1)
+        v = calc_ms_ssim(r, f)
+        assert v <= 1.0 + 1e-5, v
+        assert 0.0 <= v
