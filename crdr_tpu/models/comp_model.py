@@ -201,6 +201,23 @@ class BaseModel:
             return self.opt.get("transform_precision", self.codec_precision)
         return self.codec_precision
 
+    @property
+    def transform_dtype(self):
+        """Optional REAL dtype (not just matmul-pass precision) for the
+        side-local transforms on the codec path: ``transform_dtype: bfloat16``
+        casts the analysis/synthesis weights + activations to bf16, halving
+        their HBM traffic on top of the bf16 MXU passes that
+        ``transform_precision: default`` already buys.  Bitstream-safe by the
+        same argument as ``transform_precision`` (encoder-side y/z noise is an
+        encoder *choice*; decoder-side it only perturbs the reconstruction —
+        the hyper-decoder + context chain stays f32).  None = keep f32."""
+        dt = self.opt.get("transform_dtype", None) \
+            if hasattr(self.opt, "get") else None
+        if dt in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        assert dt in (None, "float32", "f32"), dt
+        return None
+
     def _forward_fn(self, is_train: bool):
         key = f"forward_{is_train}"
         if key not in self._jit_cache:
@@ -361,6 +378,7 @@ class BaseModel:
             ns, sc, msup = (self.num_slices, self.slice_ch,
                             self.max_support_slices)
             tprec = self.transform_precision
+            tdt = self.transform_dtype
 
             # NOTE: the packed weight stacks are threaded through the
             # params pytree (traced args) — closing over them would embed
@@ -376,9 +394,7 @@ class BaseModel:
                         x = (x + 1.0) / 2.0
                 with _precision_scope(tprec):
                     kw = {"rate_ind": rate_ind} if self.use_rate else {}
-                    y, z = net.apply({"params": p}, x,
-                                     method=lambda n, xx, rate_ind=None:
-                                     n.encode_latents(xx, rate_ind), **kw)
+                    y, z = _apply_encode_latents(net, p, x, kw, tdt)
                 med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
                     [None, None, None, :]
                 z_sym = jnp.round(z - med)
@@ -427,6 +443,7 @@ class BaseModel:
 
             bound = self.codec_y.scale_bound
             tprec = self.transform_precision
+            tdt = self.transform_dtype
             convert01 = self.convert_img_range
 
             def fn(params, x, rate_ind, table):
@@ -437,9 +454,7 @@ class BaseModel:
                         x = (x + 1.0) / 2.0
                 with _precision_scope(tprec):
                     kw = {"rate_ind": rate_ind} if self.use_rate else {}
-                    y, z = net.apply({"params": params}, x,
-                                     method=lambda n, xx, rate_ind=None:
-                                     n.encode_latents(xx, rate_ind), **kw)
+                    y, z = _apply_encode_latents(net, params, x, kw, tdt)
                 med = params["entropy_model_z"]["quantiles"][:, 0, 1] \
                     [None, None, None, :]
                 z_sym = jnp.round(z - med)
@@ -453,6 +468,63 @@ class BaseModel:
                 indexes = dev_indexes(y_scale, table, bound)
                 pred_y_bits = -jnp.sum(
                     jnp.log2(jnp.maximum(y_lik, 1e-12)), axis=(1, 2, 3))
+                pred_z_bits = -jnp.sum(
+                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
+                maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
+                nb = symbols.shape[0]
+                meta = jnp.stack([pred_y_bits, pred_z_bits, maxabs], axis=1)
+                meta16 = jax.lax.bitcast_convert_type(
+                    meta, jnp.int16).reshape(nb, -1)
+                wire = jnp.concatenate(
+                    [symbols.astype(jnp.int16).reshape(nb, -1),
+                     indexes.astype(jnp.int16).reshape(nb, -1),
+                     z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
+                return wire, y_hat, z_hat
+        elif name == "encode_full_cb":
+            # Checkerboard fused encode.  Entropy params MUST come from the
+            # same packed phase kernels the decoder runs (ops/cb_uniform.py):
+            # routing encode through the flax ``compress_params`` path
+            # produced one-ULP sigma differences at scale-table boundaries
+            # on TPU, flipping an occasional CDF index and desynchronizing
+            # the rANS stream (observed as intermittent 11-18 dB PSNR decode
+            # corruption on the real-image RD sweep).  Same wire layout as
+            # ``encode_full``.
+            from ..entropy.gaussian import build_indexes  # noqa: F401
+            from ..entropy.gaussian import gaussian_likelihood
+            from ..ops.cb_uniform import cb_encode_scan
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+            tprec = self.transform_precision
+            tdt = self.transform_dtype
+            convert01 = self.convert_img_range
+
+            def fn(params, x, rate_ind, table):
+                p, packed = params["net"], params["packed"]
+                if x.dtype == jnp.uint8:
+                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+                    if convert01:
+                        x = (x + 1.0) / 2.0
+                with _precision_scope(tprec):
+                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
+                    y, z = _apply_encode_latents(net, p, x, kw, tdt)
+                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_sym = jnp.round(z - med)
+                z_hat = z_sym + med
+                z_lik = net.apply({"params": p}, z,
+                                  method=lambda n, zz: n.z_likelihood_eval(zz))
+                hyper_out = net.apply({"params": p}, z_hat,
+                                      method=lambda n, zz: n.hyper_decode(zz))
+                hm, hs = jnp.split(hyper_out, 2, axis=-1)
+                symbols, indexes, sigma_full, y_hat = cb_encode_scan(
+                    packed, y, hm, hs, table, bound, ns, sc, msup, actv)
+                lik = gaussian_likelihood(symbols, sigma_full, bound)
+                pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))
                 pred_z_bits = -jnp.sum(
                     jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
                 maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
@@ -480,6 +552,7 @@ class BaseModel:
                                  method=lambda n, zz: n.hyper_decode(zz))
         elif name == "decode_image":
             tprec = self.transform_precision
+            tdt = self.transform_dtype
 
             def fn(params, y_hat, rate_ind, beta):
                 kw = {}
@@ -488,10 +561,7 @@ class BaseModel:
                 if self.use_beta:
                     kw["beta"] = beta
                 with _precision_scope(tprec):
-                    img = net.apply({"params": params}, y_hat,
-                                    method=lambda n, yy, rate_ind=None,
-                                    beta=None:
-                                    n.decode(yy, rate_ind, beta), **kw)
+                    img = _apply_decode(net, params, y_hat, kw, tdt)
                 return jnp.clip(img, -1.0, 1.0)
         elif name == "decode_begin":
             # fused decode bootstrap: z dequantize + hyper-decode + the
@@ -530,6 +600,7 @@ class BaseModel:
                 .get("actv", "relu")
             ns = self.num_slices
             tprec = self.transform_precision
+            tdt = self.transform_dtype
 
             uint8_io = self.codec_uint8_io
             convert01 = self.convert_img_range
@@ -549,10 +620,7 @@ class BaseModel:
                 if self.use_beta:
                     kw["beta"] = beta
                 with _precision_scope(tprec):
-                    img = net.apply({"params": p}, y_hat,
-                                    method=lambda n, yy, rate_ind=None,
-                                    beta=None:
-                                    n.decode(yy, rate_ind, beta), **kw)
+                    img = _apply_decode(net, p, y_hat, kw, tdt)
                 lo = 0.0 if convert01 else -1.0
                 img = jnp.clip(img, lo, 1.0)
                 if uint8_io:
@@ -623,8 +691,15 @@ class BaseModel:
         timing = {}
         t0 = _time.perf_counter()
         ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
-        wire, y_hat, z_hat = self._codec_fn("encode_full_generic")(
-            self.params, x, ri, self._table_dev)
+        if self._is_checkerboard:
+            # params from the SAME packed phase kernels the decoder runs —
+            # the flax compress_params path is not bit-identical to them
+            cp_params = {"net": self.params, "packed": self._charm_packed}
+            wire, y_hat, z_hat = self._codec_fn("encode_full_cb")(
+                cp_params, x, ri, self._table_dev)
+        else:
+            wire, y_hat, z_hat = self._codec_fn("encode_full_generic")(
+                self.params, x, ri, self._table_dev)
         wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
         timing["device_encode_s"] = _time.perf_counter() - t0
 
@@ -975,8 +1050,8 @@ class BaseModel:
 
             def fb(packed, i, sym_a, mu, sigma, table):
                 with _precision_scope(prec):
-                    y_a, mu_c, idx = cb_phase_b(packed, i, sym_a, mu, sigma,
-                                                table, bound)
+                    y_a, mu_c, _, idx = cb_phase_b(packed, i, sym_a, mu,
+                                                   sigma, table, bound)
                 return y_a, mu_c, idx.astype(jnp.uint8)
 
             self._jit_cache["cb_uniform"] = (
@@ -1211,6 +1286,43 @@ def _precision_scope(prec: Optional[str]):
     if prec is None:
         return contextlib.nullcontext()
     return jax.default_matmul_precision(prec)
+
+
+def _cast_float_tree(tree, dt):
+    """Cast every floating leaf of a pytree to ``dt`` (ints/bools pass
+    through).  Used to run the side-local transforms in bf16; XLA dead-code-
+    eliminates casts of leaves the traced program never touches."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
+def _apply_encode_latents(net, p, x, kw, tdt):
+    """Analysis + hyper-analysis, optionally in bf16 (``transform_dtype``).
+    y/z always come back f32: everything downstream (z-round, hyper-decode,
+    context chain, symbolization) is the precision-pinned codec chain."""
+    if tdt is not None:
+        p = _cast_float_tree(p, tdt)
+        x = x.astype(tdt)
+        kw = {k: v.astype(tdt) for k, v in kw.items()}
+    y, z = net.apply({"params": p}, x,
+                     method=lambda n, xx, rate_ind=None:
+                     n.encode_latents(xx, rate_ind), **kw)
+    return y.astype(jnp.float32), z.astype(jnp.float32)
+
+
+def _apply_decode(net, p, y_hat, kw, tdt):
+    """Synthesis transform, optionally in bf16 (``transform_dtype``); the
+    image comes back f32 so the clamp + uint8 rounding keep their exact f32
+    semantics (bf16 cannot represent every value in [0, 255])."""
+    if tdt is not None:
+        p = _cast_float_tree(p, tdt)
+        y_hat = y_hat.astype(tdt)
+        kw = {k: v.astype(tdt) for k, v in kw.items()}
+    img = net.apply({"params": p}, y_hat,
+                    method=lambda n, yy, rate_ind=None, beta=None:
+                    n.decode(yy, rate_ind, beta), **kw)
+    return img.astype(jnp.float32)
 
 
 def _rate_summary(out: Dict, num_pixel: int) -> Dict:
