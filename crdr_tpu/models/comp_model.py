@@ -355,16 +355,50 @@ class BaseModel:
                 return net.apply({"params": params}, x,
                                  method=lambda n, xx, rate_ind=None:
                                  n.encode_latents(xx, rate_ind), **kw)
-        elif name == "encode_full":
-            # the ENTIRE encode side as ONE device program: analysis +
-            # hyper-analysis transforms, z hard-round around the medians,
-            # hyper-decode, the whole num_slices-step Charm autoregressive
-            # pass (shape-uniform lax.scan, ops/charm_uniform.py), rANS
-            # symbols/indexes, and the predicted bit counts.  The host gets
-            # everything it needs for entropy coding in two small transfers
-            # (one packed int16 array for y, one for z) instead of the
-            # 3-dispatch/6-transfer pipeline this replaces — on a remote-
-            # attached TPU each synchronous fetch costs a full RTT.
+        elif name == "encode_head":
+            # Charm encode, dispatch 1 of 3 (see _compress_charm): analysis +
+            # hyper-analysis transforms, z hard-round around the medians, and
+            # the z bit estimate.  The hyper-DECODE deliberately does NOT
+            # live here: the encoder reuses the decoder's own ``decode_begin``
+            # executable for it, so the hm/hs feeding the context chain are
+            # bit-identical on both sides BY CONSTRUCTION (executable replay)
+            # rather than by hoping two differently-fused XLA programs agree
+            # to the last f32 ulp — measured on hardware, they don't (~1-2
+            # ulps apart), which is harmless for the f32 context chain but
+            # desynchronizes the rANS stream when the bf16 Pallas kernels
+            # amplify the ulp through their input cast.
+            assert self.use_charm and self.context_type == \
+                "Minnen20CharmContextModel"
+            tprec = self.transform_precision
+            tdt = self.transform_dtype
+            convert01 = self.convert_img_range
+
+            def fn(params, x, rate_ind):
+                if x.dtype == jnp.uint8:
+                    # device-side uint8_to_tensor (bit-identical f32 ops)
+                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+                    if convert01:  # data_preprocess: [-1,1] -> [0,1]
+                        x = (x + 1.0) / 2.0
+                with _precision_scope(tprec):
+                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
+                    y, z = _apply_encode_latents(net, params, x, kw, tdt)
+                med = params["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_sym = jnp.round(z - med)
+                z_lik = net.apply({"params": params}, z,
+                                  method=lambda n, zz: n.z_likelihood_eval(zz))
+                pred_z_bits = -jnp.sum(
+                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
+                return y, z_sym.astype(jnp.int16), pred_z_bits
+        elif name == "encode_tail":
+            # Charm encode, dispatch 3 of 3: the whole num_slices-step
+            # autoregressive pass (shape-uniform lax.scan sharing the
+            # decoder's slice kernels, ops/charm_uniform.py), rANS symbols/
+            # indexes, and the predicted bit counts, consuming the hm/hs the
+            # shared ``decode_begin`` executable produced.  The host gets
+            # everything it needs for entropy coding in ONE packed int16
+            # transfer — on a remote-attached TPU each synchronous fetch
+            # costs a full RTT.
             assert self.use_charm and self.context_type == \
                 "Minnen20CharmContextModel"
             from ..entropy.gaussian import build_indexes as dev_indexes
@@ -377,47 +411,23 @@ class BaseModel:
             bound = self.codec_y.scale_bound
             ns, sc, msup = (self.num_slices, self.slice_ch,
                             self.max_support_slices)
-            tprec = self.transform_precision
-            tdt = self.transform_dtype
 
             # NOTE: the packed weight stacks are threaded through the
             # params pytree (traced args) — closing over them would embed
             # ~100MB of literals into the HLO
-            convert01 = self.convert_img_range
-
-            def fn(params, x, rate_ind, table):
-                p, packed = params["net"], params["packed"]
-                if x.dtype == jnp.uint8:
-                    # device-side uint8_to_tensor (bit-identical f32 ops)
-                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
-                    if convert01:  # data_preprocess: [-1,1] -> [0,1]
-                        x = (x + 1.0) / 2.0
-                with _precision_scope(tprec):
-                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
-                    y, z = _apply_encode_latents(net, p, x, kw, tdt)
-                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
-                    [None, None, None, :]
-                z_sym = jnp.round(z - med)
-                z_hat = z_sym + med
-                z_lik = net.apply({"params": p}, z,
-                                  method=lambda n, zz: n.z_likelihood_eval(zz))
-                hyper_out = net.apply({"params": p}, z_hat,
-                                      method=lambda n, zz: n.hyper_decode(zz))
-                hm, hs = jnp.split(hyper_out, 2, axis=-1)
+            def fn(params, y, hm, hs, z_sym, pred_z_bits, table):
+                packed = params["packed"]
                 mu, sigma, y_hat = uniform_encode_scan(
                     packed, y, hm, hs, ns, sc, msup, actv)
                 symbols = jnp.round(y - mu)
                 indexes = dev_indexes(sigma, table, bound)
                 lik = gaussian_likelihood(symbols, sigma, bound)
                 pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
-                pred_z_bits = -jnp.sum(
-                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
                 maxabs = jnp.max(jnp.abs(y_hat))
                 # EVERYTHING the host entropy coder needs rides home in ONE
-                # int16 array — on a remote-attached TPU every separate
-                # fetch pays a full RTT, so y symbols + cdf indexes (small
-                # ints), z symbols, and the f32 scalars (bitcast to int16
-                # pairs) are flattened into a single wire vector
+                # int16 array: y symbols + cdf indexes (small ints), the
+                # pass-through z symbols, and the f32 scalars (bitcast to
+                # int16 pairs) are flattened into a single wire vector
                 nb = symbols.shape[0]
                 meta = jnp.stack(
                     [pred_y_bits, pred_z_bits,
@@ -427,8 +437,8 @@ class BaseModel:
                 wire = jnp.concatenate(
                     [symbols.astype(jnp.int16).reshape(nb, -1),
                      indexes.astype(jnp.int16).reshape(nb, -1),
-                     z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
-                return wire, y_hat, z_hat
+                     z_sym.reshape(nb, -1), meta16], axis=1)
+                return wire, y_hat
         elif name == "encode_full_generic":
             # The non-Charm counterpart of ``encode_full``: the ENTIRE encode
             # side of every hyperprior-style family (Balle18 / Cheng20 /
@@ -757,7 +767,23 @@ class BaseModel:
         return results[0] if N == 1 else results
 
     def _compress_charm(self, x, N: int, H: int, W: int, rate_ind):
-        """Charm encode: ONE device dispatch (``encode_full``) + host rANS.
+        """Charm encode: THREE chained async device dispatches + host rANS.
+
+        Dispatch layout: ``encode_head`` (analysis/hyper-analysis + z round)
+        -> the decoder's own ``decode_begin`` executable (z dequantize +
+        hyper-decode) -> ``encode_tail`` (the Charm scan + symbols/indexes/
+        wire).  No host sync happens between them — device arrays chain
+        d2d, and the single blocking d2h is the packed int16 wire fetch at
+        the end, so the cost equals the previous single fused program.
+
+        Running hyper-decode through the SAME compiled program the decoder
+        uses makes the hm/hs that drive the context chain bit-identical on
+        both sides by construction.  Two independently-fused XLA programs
+        only agree to ~1-2 f32 ulps on TPU (measured), which the f32 chain
+        tolerates statistically but the bf16 Pallas kernels (CRDR_PALLAS=1)
+        amplify into symbol flips: this structure is what makes the fast
+        kernel mode bitstream-safe, and it removes the residual
+        one-ulp-at-a-boundary risk from the f32 path too.
 
         The host receives the y symbols/indexes as a single packed int16
         array and the z symbols as int16; y_hat/z_hat stay on device and are
@@ -771,8 +797,12 @@ class BaseModel:
         t0 = _time.perf_counter()
         ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
         cp_params = {"net": self.params, "packed": self._charm_packed}
-        wire, y_hat, z_hat = self._codec_fn("encode_full")(
-            cp_params, x, ri, self._table_dev)
+        y, z_sym16, pred_z_dev = self._codec_fn("encode_head")(
+            self.params, x, ri)
+        hm, hs, _support0, _mu0, _idx0, z_hat = self._codec_fn(
+            "decode_begin")(cp_params, z_sym16, self._table_dev)
+        wire, y_hat = self._codec_fn("encode_tail")(
+            cp_params, y, hm, hs, z_sym16, pred_z_dev, self._table_dev)
         wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
         timing["device_encode_s"] = _time.perf_counter() - t0
 

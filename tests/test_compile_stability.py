@@ -39,7 +39,8 @@ def test_codec_no_retrace_across_qualities():
     enc = model.compress(x, rate_ind=1.5)
     for b in (0.0, 2.56):
         model.decompress(enc["string_list"], beta=b)
-    assert model._jit_cache["encode_full"]._cache_size() == 1
+    assert model._jit_cache["encode_head"]._cache_size() == 1
+    assert model._jit_cache["encode_tail"]._cache_size() == 1
     assert model._jit_cache["decode_begin"]._cache_size() == 1
     assert model._jit_cache["decode_final"]._cache_size() == 1
     assert model._jit_cache["charm_uniform"]._cache_size() == 1
