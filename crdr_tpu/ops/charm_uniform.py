@@ -97,29 +97,38 @@ def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
     b2 = jnp.take(packed[f"{kind}2_b"], idx, axis=0)
     w4 = jnp.take(packed[f"{kind}4_w"], idx, axis=0)
     b4 = jnp.take(packed[f"{kind}4_b"], idx, axis=0)
-    if actv == "relu" and _fused_enabled(x):
+    mode = _fused_mode(x)
+    if actv == "relu" and mode:
         from .pallas_slice_transform import pallas_slice_transform
 
-        return pallas_slice_transform(x, w0, b0, w2, b2, w4, b4)
+        return pallas_slice_transform(x, w0, b0, w2, b2, w4, b4,
+                                      interpret=(mode == "interp"))
     x = act(_conv(x, w0, b0, 2))
     x = act(_conv(x, w2, b2, 2))
     return _conv(x, w4, b4, 1)
 
 
-def _fused_enabled(x: Array) -> bool:
-    """Opt-in fused VMEM kernel (CRDR_PALLAS=1, TPU, latent fits VMEM)."""
+def _fused_mode(x: Array):
+    """Opt-in fused VMEM kernel.  CRDR_PALLAS=1: compiled Mosaic kernel
+    (TPU only); CRDR_PALLAS=interp: the same kernel through the Pallas
+    interpreter on any backend — slow, exists so CI without a TPU can run
+    the full codec path through the kernel's exact arithmetic.  Returns
+    the mode string or None (plain XLA convs)."""
     import os
 
-    if os.environ.get("CRDR_PALLAS", "0") != "1":
-        return False
+    mode = os.environ.get("CRDR_PALLAS", "0")
+    if mode not in ("1", "interp"):
+        return None
     from .pallas_slice_transform import fits_fused
 
     if not fits_fused(x.shape[1], x.shape[2]):
-        return False
+        return None
+    if mode == "interp":
+        return "interp"
     try:
-        return jax.devices()[0].platform != "cpu"
+        return "1" if jax.devices()[0].platform != "cpu" else None
     except Exception:
-        return False
+        return None
 
 
 def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
