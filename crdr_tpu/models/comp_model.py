@@ -306,6 +306,11 @@ class BaseModel:
         self.y_stride = 16
         self.model_stride = 64
 
+        # fused-SliceTransform kernel policy (see ops/charm_uniform.py);
+        # the CRDR_PALLAS env var still overrides the config
+        from ..ops.charm_uniform import set_fused_default
+        set_fused_default(self.opt.get("fused_slice_kernel", None))
+
         # device-resident codec constants: re-uploading them per call costs
         # an RTT each on a remote-attached accelerator
         self._dev = jax.devices()[0]

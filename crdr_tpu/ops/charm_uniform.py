@@ -108,6 +108,20 @@ def _slice_transform(packed: Dict[str, Array], kind: str, idx: Array,
     return _conv(x, w4, b4, 1)
 
 
+# config-level default for the fused kernel, set by the model's
+# codec_setup from ``fused_slice_kernel`` in its YAML config; the
+# CRDR_PALLAS env var (operator escape hatch) always wins when set.
+# Process-wide: the last codec_setup decides for configless callers.
+_CONFIG_DEFAULT = "0"
+
+
+def set_fused_default(mode) -> None:
+    """mode: True/"1" (compiled kernel, TPU only), "interp" (Pallas
+    interpreter, any backend — CI use), False/None/"0" (plain XLA)."""
+    global _CONFIG_DEFAULT
+    _CONFIG_DEFAULT = {True: "1", False: "0", None: "0"}.get(mode, str(mode))
+
+
 def _fused_mode(x: Array):
     """Opt-in fused VMEM kernel.  CRDR_PALLAS=1: compiled Mosaic kernel
     (TPU only); CRDR_PALLAS=interp: the same kernel through the Pallas
@@ -116,7 +130,7 @@ def _fused_mode(x: Array):
     the mode string or None (plain XLA convs)."""
     import os
 
-    mode = os.environ.get("CRDR_PALLAS", "0")
+    mode = os.environ.get("CRDR_PALLAS", _CONFIG_DEFAULT)
     if mode not in ("1", "interp"):
         return None
     from .pallas_slice_transform import fits_fused

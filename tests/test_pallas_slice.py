@@ -56,3 +56,24 @@ def test_fused_batched_matches_composed():
         one = pallas_slice_transform(x1[i:i + 1], *args[1:], interpret=True)
         np.testing.assert_allclose(np.asarray(out[i]), np.asarray(one[0]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_fused_mode_config_and_env_precedence(monkeypatch):
+    import jax.numpy as jnp
+    from crdr_tpu.ops import charm_uniform as cu
+
+    x = jnp.zeros((1, 8, 8, 4))
+    monkeypatch.delenv("CRDR_PALLAS", raising=False)
+    cu.set_fused_default(None)
+    assert cu._fused_mode(x) is None
+    cu.set_fused_default("interp")
+    assert cu._fused_mode(x) == "interp"
+    cu.set_fused_default(True)          # compiled mode needs a non-CPU device
+    assert cu._fused_mode(x) in (None, "1")
+    # env always wins over the config default
+    monkeypatch.setenv("CRDR_PALLAS", "0")
+    assert cu._fused_mode(x) is None
+    monkeypatch.setenv("CRDR_PALLAS", "interp")
+    cu.set_fused_default(False)
+    assert cu._fused_mode(x) == "interp"
+    cu.set_fused_default(None)
