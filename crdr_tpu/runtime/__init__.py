@@ -61,6 +61,23 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_int, i32p, i32p, i32p]
             lib.rans_decoder_free.restype = None
             lib.rans_decoder_free.argtypes = [ctypes.c_void_p]
+
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.lane_rans_encode.restype = ctypes.c_int64
+            lib.lane_rans_encode.argtypes = [
+                i32p, i32p, ctypes.c_int64, i64p, ctypes.c_int, ctypes.c_int,
+                i32p, ctypes.c_int, ctypes.c_int, i32p, i32p, u16p,
+                ctypes.c_int64, i32p, i64p, i32p, ctypes.c_int64]
+            lib.lane_decoder_new.restype = ctypes.c_void_p
+            lib.lane_decoder_new.argtypes = [u16p, i32p, ctypes.c_int,
+                                             ctypes.c_int64]
+            lib.lane_decoder_decode.restype = None
+            lib.lane_decoder_decode.argtypes = [
+                ctypes.c_void_p, i32p, ctypes.c_int64, i32p, ctypes.c_int,
+                ctypes.c_int, i32p, i32p, i32p]
+            lib.lane_decoder_free.restype = None
+            lib.lane_decoder_free.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
 

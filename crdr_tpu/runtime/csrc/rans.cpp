@@ -301,3 +301,185 @@ void rans_decoder_decode(void *dec, const int32_t *indexes, int64_t n,
 void rans_decoder_free(void *dec) { delete static_cast<RansDecState *>(dec); }
 
 }  // extern "C"
+
+// ===========================================================================
+// Lane-interleaved rans32 — the "device" wire format.
+//
+// K independent 32-bit rANS streams (16-bit probability precision, 16-bit
+// renormalization words) per image.  Symbols are assigned to lanes by
+// `local_flat_position % K`, with the assignment restarting at every slice
+// boundary, so a vectorized decoder advances all K lanes by one symbol per
+// step — this is what lets the TPU decode the stream as dense [K]-wide
+// vector ops inside a single compiled program (see ops/device_rans.py).
+//
+// Out-of-range symbols do NOT bypass-code inline (data-dependent extra reads
+// would break the fixed one-read-per-symbol vector decode); the encoder
+// writes the escape slot into the stream and records (flat position, value)
+// in a fixup side channel that rides the container and is scattered over the
+// decoded plane on device.  CDF tables / lengths / offsets are the SAME
+// 16-bit-precision tables the CompressAI-compatible coder uses.
+//
+// Invariants (checked by tests/test_lane_rans.py against an independent
+// numpy model):
+//   * state in [2^16, 2^32) after init/renorm; exactly 0 or 1 word read per
+//     decoded symbol; at most 2 words emitted per encoded symbol;
+//   * lane stream layout: [state_hi16, state_lo16, renorm words...];
+//   * decode consumption order within a slice = ascending flat position.
+
+namespace {
+
+constexpr uint32_t kLaneL = 1u << 16;  // lower renorm bound = 2^16
+
+struct LaneSym {
+  uint16_t low;
+  uint16_t freq_m1;  // freq - 1 (freq can be 2^16 on degenerate rows)
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of fixups (>= 0) or a negative error:
+//   -1 lane word buffer overflow, -2 fixup overflow, -3 zero-frequency slot,
+//   -4 bad arguments.
+// out_words is [K, lane_cap] row-major uint16; out_lens[K] = words used.
+int64_t lane_rans_encode(const int32_t *values, const int32_t *indexes,
+                         int64_t n, const int64_t *slice_off, int n_slices,
+                         int K, const int32_t *cdfs, int cdf_rows,
+                         int cdf_cols, const int32_t *cdf_lengths,
+                         const int32_t *offsets, uint16_t *out_words,
+                         int64_t lane_cap, int32_t *out_lens,
+                         int64_t *fix_pos, int32_t *fix_val,
+                         int64_t fix_cap) {
+  if (K <= 0 || n_slices <= 0 || slice_off[0] != 0 || slice_off[n_slices] != n)
+    return -4;
+
+  // Pass 1 (forward, lane-independent): resolve every symbol to its CDF slot
+  // and collect escapes in deterministic flat order.
+  std::vector<LaneSym> slots(static_cast<size_t>(n));
+  int64_t n_fix = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    const int32_t idx = indexes[p];
+    if (idx < 0 || idx >= cdf_rows) return -4;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int64_t folded = static_cast<int64_t>(values[p]) - offsets[idx];
+    if (folded < 0 || folded >= max_value) {
+      if (n_fix >= fix_cap) return -2;
+      fix_pos[n_fix] = p;
+      fix_val[n_fix] = values[p];
+      ++n_fix;
+      folded = max_value;  // escape slot
+    }
+    const int32_t *row = cdfs + static_cast<int64_t>(idx) * cdf_cols;
+    const int64_t low = row[folded];
+    const int64_t freq = static_cast<int64_t>(row[folded + 1]) - low;
+    if (freq <= 0 || freq > (1 << 16)) return -3;  // non-monotone CDF row
+    slots[p].low = static_cast<uint16_t>(low);
+    slots[p].freq_m1 = static_cast<uint16_t>(freq - 1);
+  }
+
+  // Pass 2: per-lane reverse encode.
+  std::vector<int64_t> seq;     // lane's positions, consumption order
+  std::vector<uint16_t> emit;   // renorm words, encode order
+  for (int j = 0; j < K; ++j) {
+    seq.clear();
+    for (int s = 0; s < n_slices; ++s) {
+      for (int64_t p = slice_off[s] + j; p < slice_off[s + 1]; p += K)
+        seq.push_back(p);
+    }
+    uint32_t state = kLaneL;
+    emit.clear();
+    for (auto it = seq.rbegin(); it != seq.rend(); ++it) {
+      const LaneSym &sym = slots[static_cast<size_t>(*it)];
+      const uint32_t freq = static_cast<uint32_t>(sym.freq_m1) + 1u;
+      while (static_cast<uint64_t>(state) >=
+             (static_cast<uint64_t>(freq) << 16)) {
+        emit.push_back(static_cast<uint16_t>(state & 0xFFFFu));
+        state >>= 16;
+      }
+      state = ((state / freq) << 16) + (state % freq) + sym.low;
+    }
+    const int64_t len = 2 + static_cast<int64_t>(emit.size());
+    if (len > lane_cap) return -1;
+    uint16_t *w = out_words + static_cast<int64_t>(j) * lane_cap;
+    w[0] = static_cast<uint16_t>(state >> 16);
+    w[1] = static_cast<uint16_t>(state & 0xFFFFu);
+    for (size_t t = 0; t < emit.size(); ++t)
+      w[2 + t] = emit[emit.size() - 1 - t];
+    out_lens[j] = static_cast<int32_t>(len);
+  }
+  return n_fix;
+}
+
+// --- streaming host decoder (CPU fallback for the device wire) -------------
+
+namespace {
+
+struct LaneDecState {
+  std::vector<uint32_t> state;    // [K]
+  std::vector<uint16_t> words;    // [K * cap]
+  std::vector<int64_t> ptr;       // [K] read cursor into the lane row
+  int64_t cap = 0;
+  int K = 0;
+};
+
+}  // namespace
+
+void *lane_decoder_new(const uint16_t *words, const int32_t *lens, int K,
+                       int64_t lane_cap) {
+  auto *st = new LaneDecState();
+  st->K = K;
+  st->cap = lane_cap;
+  st->words.assign(words, words + static_cast<int64_t>(K) * lane_cap);
+  st->state.resize(K);
+  st->ptr.resize(K);
+  for (int j = 0; j < K; ++j) {
+    if (lens[j] < 2) {
+      delete st;
+      return nullptr;
+    }
+    const uint16_t *w = words + static_cast<int64_t>(j) * lane_cap;
+    st->state[j] = (static_cast<uint32_t>(w[0]) << 16) | w[1];
+    st->ptr[j] = 2;
+  }
+  return st;
+}
+
+// Decode the next `m` symbols (one slice's worth; lane assignment restarts
+// here, matching the encoder's per-slice restart).  Escape slots decode to
+// (max_value + offset); the caller overlays fixups.
+void lane_decoder_decode(void *dec, const int32_t *indexes, int64_t m,
+                         const int32_t *cdfs, int cdf_rows, int cdf_cols,
+                         const int32_t *cdf_lengths, const int32_t *offsets,
+                         int32_t *out) {
+  (void)cdf_rows;
+  auto *st = static_cast<LaneDecState *>(dec);
+  for (int64_t p = 0; p < m; ++p) {
+    const int j = static_cast<int>(p % st->K);
+    uint32_t x = st->state[j];
+    const int32_t idx = indexes[p];
+    const int32_t *row = cdfs + static_cast<int64_t>(idx) * cdf_cols;
+    const uint32_t mod = x & 0xFFFFu;
+    int32_t lo = 0, hi = cdf_lengths[idx] - 1;
+    while (lo + 1 < hi) {  // row[s] <= mod < row[s+1]
+      const int32_t mid = (lo + hi) / 2;
+      if (static_cast<uint32_t>(row[mid]) <= mod)
+        lo = mid;
+      else
+        hi = mid;
+    }
+    const uint32_t low = static_cast<uint32_t>(row[lo]);
+    const uint32_t freq = static_cast<uint32_t>(row[lo + 1]) - low;
+    x = freq * (x >> 16) + mod - low;
+    if (x < kLaneL) {
+      const uint16_t *w = st->words.data() + static_cast<int64_t>(j) * st->cap;
+      x = (x << 16) | w[st->ptr[j]++];
+    }
+    st->state[j] = x;
+    out[p] = lo + offsets[idx];
+  }
+}
+
+void lane_decoder_free(void *dec) { delete static_cast<LaneDecState *>(dec); }
+
+}  // extern "C"
