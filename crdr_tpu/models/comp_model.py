@@ -311,6 +311,19 @@ class BaseModel:
         from ..ops.charm_uniform import set_fused_default
         set_fused_default(self.opt.get("fused_slice_kernel", None))
 
+        # wire format: "compressai" (default; byte-compatible serial streams)
+        # or "device" (lane-interleaved rans32, entropy-decoded ON DEVICE so
+        # the whole Charm decode chains asynchronously with no per-slice host
+        # round trips — see runtime/lane_rans.py / ops/device_rans.py).
+        # CRDR_WIRE env var overrides the config (operator escape hatch).
+        self.wire_format = os.environ.get(
+            "CRDR_WIRE", self.opt.get("wire_format", "compressai"))
+        assert self.wire_format in ("compressai", "device"), self.wire_format
+        self.device_wire_lanes = int(self.opt.get("device_wire_lanes", 128))
+        self.device_wire_fixup_cap = int(
+            self.opt.get("device_wire_fixup_cap", 256))
+        self._ytab_cache = None
+
         # device-resident codec constants: re-uploading them per call costs
         # an RTT each on a remote-attached accelerator
         self._dev = jax.devices()[0]
@@ -345,6 +358,21 @@ class BaseModel:
             self._scalar_cache[key] = jax.device_put(
                 np.asarray([float(value)], np.float32), self._dev)
         return self._scalar_cache[key]
+
+    def _ytab(self) -> Dict[str, Array]:
+        """Device-resident y CDF tables for the on-device entropy decoder
+        (int32; uploaded once per codec_setup)."""
+        if self._ytab_cache is None:
+            self._ytab_cache = {
+                "cdf": jax.device_put(
+                    np.asarray(self.codec_y.quantized_cdf, np.int32),
+                    self._dev),
+                "len": jax.device_put(
+                    np.asarray(self.codec_y.cdf_length, np.int32), self._dev),
+                "off": jax.device_put(
+                    np.asarray(self.codec_y.offset, np.int32), self._dev),
+            }
+        return self._ytab_cache
 
     def _codec_fn(self, name: str):
         """Jitted codec-path programs, created lazily.  All traced under the
@@ -605,6 +633,34 @@ class BaseModel:
                     packed, jnp.int32(0), hm, hs, support0, zeros, zeros,
                     table, bound, ns, sc, msup, actv)
                 return hm, hs, support, mu0, idx0.astype(jnp.uint8), z_hat
+        elif name == "rans_round":
+            # device-wire entropy decode of ONE autoregressive round: expand
+            # the per-symbol CDF rows, advance all lanes, overlay fixups.
+            # Chained asynchronously between the (unchanged) Charm step
+            # executables, it removes every per-slice host round trip — the
+            # serial decode becomes one uninterrupted device dispatch chain.
+            # Integer-exact by construction (see ops/device_rans.py), so it
+            # adds no cross-program float risk to the bitstream contract.
+            from ..ops.device_rans import (apply_fixups, expand_tables,
+                                           init_lane_state, lane_decode_round)
+
+            sc = self.slice_ch
+
+            def fn(states, ptrs, words, idx, fix_pos, fix_val, fix_act, lo,
+                   cdf, cdf_len, cdf_off):
+                n_, h_, w_, _ = idx.shape
+                m = h_ * w_ * sc
+                first = states is None
+                if first:
+                    states, ptrs = init_lane_state(words)
+                rows, lens, offs = expand_tables(
+                    idx.reshape(n_, m), cdf, cdf_len, cdf_off)
+                vals, states, ptrs = lane_decode_round(
+                    states, ptrs, words, rows, lens, offs, m)
+                vals = apply_fixups(vals, fix_pos, fix_val, fix_act,
+                                    lo.astype(jnp.int32), m)
+                sym = vals.reshape(n_, h_, w_, sc).astype(jnp.float32)
+                return sym, states, ptrs
         elif name == "decode_final":
             # fused tail: final slice reconstruction + full-latent concat +
             # synthesis transform in ONE dispatch
@@ -826,14 +882,18 @@ class BaseModel:
         maxabs_np = meta[:, 2]
         z_sym_np = z_f.reshape(N, zH, zW, self.zC)
         z_str = self.codec_z.compress_symbols(z_sym_np.astype(np.int32))
-        # channel-major rANS serialization (stream-layout parity)
-        sym_flat = sym_f.reshape(N, yH, yW, self.yC).transpose(0, 3, 1, 2) \
-            .reshape(N, -1).astype(np.int32)
-        idx_flat = idx_f.reshape(N, yH, yW, self.yC).transpose(0, 3, 1, 2) \
-            .reshape(N, -1).astype(np.int32)
-        y_str = [rans_encode_with_indexes(
-            sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-            self.codec_y.cdf_length, self.codec_y.offset) for i in range(N)]
+        if self.wire_format == "device":
+            y_str = self._lane_serialize(sym_f, idx_f, N, yH, yW)
+        else:
+            # channel-major rANS serialization (stream-layout parity)
+            sym_flat = sym_f.reshape(N, yH, yW, self.yC) \
+                .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
+            idx_flat = idx_f.reshape(N, yH, yW, self.yC) \
+                .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
+            y_str = [rans_encode_with_indexes(
+                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+                self.codec_y.cdf_length, self.codec_y.offset)
+                for i in range(N)]
         timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
@@ -876,6 +936,9 @@ class BaseModel:
 
         if self.use_charm and not self._is_checkerboard and \
                 self.context_type == "Minnen20CharmContextModel":
+            if self.wire_format == "device":
+                return self._decompress_charm_device(
+                    [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
             return self._decompress_charm([z_str], [y_str], zH, zW, rate_ind,
                                           beta, H, W)
 
@@ -931,7 +994,9 @@ class BaseModel:
         zH, zW = padH // self.model_stride, padW // self.model_stride
         if self.use_charm and not self._is_checkerboard and \
                 self.context_type == "Minnen20CharmContextModel":
-            return self._decompress_charm(
+            fn = (self._decompress_charm_device
+                  if self.wire_format == "device" else self._decompress_charm)
+            return fn(
                 [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
                 zH, zW, rate_ind, beta, H, W)
         outs = [self.decompress(sl, beta=beta) for sl in string_lists]
@@ -1029,6 +1094,125 @@ class BaseModel:
                 fake = (fake + 1.0) / 2.0
         fake = self.data_postprocess(fake, size=(H, W), is_train=False)
         timing["decode_final_s"] = _time.perf_counter() - t0
+        self.last_decode_timing = timing
+        return fake, z_hat, y_hat
+
+    def _lane_serialize(self, sym_f: np.ndarray, idx_f: np.ndarray, N: int,
+                        yH: int, yW: int) -> List[bytes]:
+        """Device-wire y serialization: per image, flatten slice-major (the
+        decoder's consumption order: for each slice, [h, w, sc] C-order) and
+        lane-encode into K rans32 streams + escape fixups."""
+        from ..runtime.lane_rans import lane_encode, pack_lane_container
+
+        ns, sc = self.num_slices, self.slice_ch
+        m = yH * yW * sc
+        # [N, h, w, ns*sc] -> slice-major flat [N, ns*m]
+        def tolanes(a):
+            return a.reshape(N, yH, yW, ns, sc).transpose(0, 3, 1, 2, 4) \
+                .reshape(N, -1).astype(np.int32)
+
+        sym_l, idx_l = tolanes(sym_f), tolanes(idx_f)
+        slice_off = np.arange(ns + 1, dtype=np.int64) * m
+        out = []
+        for i in range(N):
+            cap = self.device_wire_fixup_cap
+            while True:
+                try:
+                    enc = lane_encode(
+                        sym_l[i], idx_l[i], slice_off, self.device_wire_lanes,
+                        self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                        self.codec_y.offset, fix_cap=cap)
+                    break
+                except RuntimeError:  # fixup overflow: host side, just grow
+                    cap *= 4
+                    if cap > 1 << 20:
+                        raise
+            out.append(pack_lane_container(*enc))
+        return out
+
+    def _decompress_charm_device(self, z_strs: List[bytes],
+                                 y_strs: List[bytes], zH: int, zW: int,
+                                 rate_ind, beta: float, H: int, W: int):
+        """Device-wire Charm decode: ONE uninterrupted async dispatch chain.
+
+        The per-slice structure (and the exact step executables) match
+        _decompress_charm, but the symbols come from the on-device lane
+        decoder (``rans_round``) instead of a host rANS stream, so nothing
+        blocks until the final image fetch: latency ~= one round trip + the
+        device compute, instead of num_slices+1 round trips.  The reference
+        cannot express this — its decode pulls symbols from a CPU rANS
+        stream between every slice (minnen20_charm_context_model.py:226-266).
+        """
+        import time as _time
+
+        from ..runtime.lane_rans import unpack_lane_container
+
+        assert self._charm_packed is not None, "codec_setup() builds weights"
+        timing = {}
+        t0 = _time.perf_counter()
+        n = len(y_strs)
+        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+
+        # host: unpack lane containers, pad words/fixups to common shapes
+        parts = [unpack_lane_container(ys) for ys in y_strs]
+        wmax = max(p[0].shape[1] for p in parts)
+        k = parts[0][0].shape[0]
+        fmax = max(64, max(p[2].size for p in parts))
+        fmax = 1 << (fmax - 1).bit_length()  # pow2 pad bounds recompiles
+        words = np.zeros((n, k, wmax), np.uint32)
+        fix_pos = np.zeros((n, fmax), np.int32)
+        fix_val = np.zeros((n, fmax), np.int32)
+        fix_act = np.zeros((n, fmax), bool)
+        for i, (w, lens, fp, fv) in enumerate(parts):
+            words[i, :, :w.shape[1]] = w
+            f = fp.size
+            fix_pos[i, :f] = fp
+            fix_val[i, :f] = fv
+            fix_act[i, :f] = True
+        dev = self._dev
+        words_d = jax.device_put(words, dev)
+        fp_d = jax.device_put(fix_pos, dev)
+        fv_d = jax.device_put(fix_val, dev)
+        fa_d = jax.device_put(fix_act, dev)
+        timing["host_unpack_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        cp = {"net": self.params, "packed": self._charm_packed}
+        table = self._table_dev
+        ytab = self._ytab()
+        hm, hs, support, mu, idx, z_hat = self._codec_fn("decode_begin")(
+            cp, jax.device_put(z_sym.astype(np.int16), dev), table)
+        ns = self.num_slices
+        step = self._charm_step_fn()
+        rans = self._codec_fn("rans_round")
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        m = zH * 4 * zW * 4 * self.slice_ch  # y grid = 4x the z grid
+
+        states = ptrs = None
+        y_slices: List[Array] = []
+        for i in range(ns):
+            sym, states, ptrs = rans(
+                states, ptrs, words_d, idx, fp_d, fv_d, fa_d,
+                np.int32(i * m), ytab["cdf"], ytab["len"], ytab["off"])
+            if i < ns - 1:
+                y_prev, support, mu, idx = step(
+                    self._charm_packed, jnp.int32(i + 1), hm, hs,
+                    support, sym, mu, table)
+                y_slices.append(y_prev)
+            else:
+                fake, y_hat = self._codec_fn("decode_final")(
+                    cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
+        fake = np.asarray(fake)  # the ONLY blocking sync of the decode
+        timing["device_chain_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        if fake.dtype == np.uint8:  # codec_uint8_io: device sent uint8
+            fake = uint8_to_tensor(fake)
+            if self.convert_img_range:
+                fake = (fake + 1.0) / 2.0
+        fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        timing["postprocess_s"] = _time.perf_counter() - t0
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
 

@@ -1,0 +1,95 @@
+"""Device-wire (on-device entropy decode) end-to-end codec tests.
+
+The lane-interleaved wire must reproduce EXACTLY the latents the encoder
+quantized — same contract as the CompressAI-format path — while the decode
+runs as one uninterrupted device dispatch chain (no per-slice host rANS).
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_comp_model import tiny_opt
+from crdr_tpu.models import build_comp_model
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def device_wire_model():
+    opt = tiny_opt()
+    opt["wire_format"] = "device"
+    opt["device_wire_lanes"] = 16
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    model.codec_setup()
+    return model
+
+
+def test_device_wire_roundtrip(device_wire_model):
+    model = device_wire_model
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc = model.compress(x, rate_ind=2.0)
+    fake, z_hat, y_hat = model.decompress(enc["string_list"], beta=1.28)
+    np.testing.assert_allclose(np.asarray(z_hat), np.asarray(enc["z_hat"]),
+                               rtol=1e-5, atol=1e-5)
+    # bit-exact latent reproduction: the decode chain replays the very same
+    # step executables the encoder's scan agreed with
+    np.testing.assert_array_equal(np.asarray(y_hat),
+                                  np.asarray(enc["y_hat"]))
+    assert fake.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(fake))
+
+
+def test_device_wire_matches_compressai_wire():
+    """Same tiny weights, both wire formats: identical reconstruction."""
+    opt = tiny_opt()
+    ref = build_comp_model(opt)
+    ref.init_params(input_size=64)
+    ref.codec_setup()
+
+    opt2 = tiny_opt()
+    opt2["wire_format"] = "device"
+    opt2["device_wire_lanes"] = 8
+    dev = build_comp_model(opt2)
+    dev.init_params(input_size=64)  # same seed -> same params
+    dev.codec_setup()
+
+    x = np.random.default_rng(5).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc_ref = ref.compress(x, rate_ind=1.0)
+    enc_dev = dev.compress(x, rate_ind=1.0)
+    # encode side is identical up to serialization
+    np.testing.assert_array_equal(np.asarray(enc_ref["y_hat"]),
+                                  np.asarray(enc_dev["y_hat"]))
+
+    fake_ref, _, yh_ref = ref.decompress(enc_ref["string_list"], beta=0.64)
+    fake_dev, _, yh_dev = dev.decompress(enc_dev["string_list"], beta=0.64)
+    np.testing.assert_array_equal(np.asarray(yh_ref), np.asarray(yh_dev))
+    np.testing.assert_array_equal(fake_ref, fake_dev)
+
+
+def test_device_wire_batch(device_wire_model):
+    model = device_wire_model
+    x = np.random.default_rng(7).uniform(-1, 1, (3, 64, 64, 3)) \
+        .astype(np.float32)
+    encs = model.compress_batch(x, rate_ind=0.0)
+    assert len(encs) == 3
+    fake, z_hat, y_hat = model.decompress_batch(
+        [e["string_list"] for e in encs], beta=0.0)
+    assert fake.shape == (3, 64, 64, 3)
+    for i, e in enumerate(encs):
+        np.testing.assert_array_equal(np.asarray(y_hat)[i],
+                                      np.asarray(e["y_hat"])[0])
+
+
+def test_device_wire_stream_size_tracks_prediction(device_wire_model):
+    """Lane overhead (per-lane state flush + lens) is bounded: real bits
+    within ~25% + fixed slack of predicted on the tiny model."""
+    model = device_wire_model
+    x = np.random.default_rng(9).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc = model.compress(x, rate_ind=2.0)
+    real_y_bits = len(enc["string_list"][2]) * 8
+    # 16 lanes x (2 state words + u16 len) = 96 B fixed overhead
+    assert real_y_bits < enc["pred_y_bit"] * 1.25 + 8 * 200
