@@ -114,6 +114,37 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat1 = float(np.median(lat[1:]))  # drop the compile iteration
 
+    # -- device-wire protocol (wire_format: device): the y bitstream is
+    # lane-interleaved rans32 entropy-decoded ON DEVICE, so the Charm decode
+    # is one uninterrupted async dispatch chain (1 blocking sync instead of
+    # num_slices+1).  Reported as extra keys; the headline metric keeps the
+    # round-2 protocol for cross-round comparability.
+    lat1_dev = mpix_dev = None
+    if os.environ.get("CRDR_BENCH_DEVICE_WIRE", "1") == "1":
+        print("bench: device-wire legs...", file=sys.stderr, flush=True)
+        model.wire_format = "device"
+        try:
+            run_pipeline(model, imgs)  # compile rans_round/decode variants
+            t0 = time.perf_counter()
+            encs = model.compress_batch(imgs, rate_ind=2.0)
+            model.decompress_batch([e["string_list"] for e in encs],
+                                   beta=2.56)
+            mpix_dev = BATCH * (H * W) / (time.perf_counter() - t0) / 1e6
+            latd = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                enc1 = model.compress(img1, rate_ind=2.0)
+                model.decompress(enc1["string_list"], beta=2.56)
+                latd.append(time.perf_counter() - t0)
+            lat1_dev = float(np.median(latd[1:]))
+            print(f"bench: device-wire batch={BATCH} serial "
+                  f"{mpix_dev:.3f} Mpix/s | batch=1 latency "
+                  f"{lat1_dev * 1e3:.0f} ms "
+                  f"dec={model.last_decode_timing}",
+                  file=sys.stderr, flush=True)
+        finally:
+            model.wire_format = "compressai"
+
     if profile_dir:
         import jax
 
@@ -144,6 +175,9 @@ def main():
         "serial_mpix_s": round(mpix_serial, 4),
         "batch1_latency_ms": round(lat1 * 1e3, 1),
         "batch1_mpix_s": round(mpix_1, 4),
+        **({"device_wire_serial_mpix_s": round(mpix_dev, 4),
+            "device_wire_batch1_latency_ms": round(lat1_dev * 1e3, 1)}
+           if lat1_dev is not None else {}),
     }))
 
 

@@ -1106,6 +1106,11 @@ class BaseModel:
 
         ns, sc = self.num_slices, self.slice_ch
         m = yH * yW * sc
+        # lane count: the config value, auto-reduced for small latents so the
+        # fixed per-lane cost (2 state words + a u16 length) stays a few
+        # percent of the stream; the decoder reads K from the container.
+        k = min(self.device_wire_lanes,
+                max(8, 1 << max(0, (m // 64).bit_length() - 1)))
         # [N, h, w, ns*sc] -> slice-major flat [N, ns*m]
         def tolanes(a):
             return a.reshape(N, yH, yW, ns, sc).transpose(0, 3, 1, 2, 4) \
@@ -1119,7 +1124,7 @@ class BaseModel:
             while True:
                 try:
                     enc = lane_encode(
-                        sym_l[i], idx_l[i], slice_off, self.device_wire_lanes,
+                        sym_l[i], idx_l[i], slice_off, k,
                         self.codec_y.quantized_cdf, self.codec_y.cdf_length,
                         self.codec_y.offset, fix_cap=cap)
                     break
