@@ -399,9 +399,8 @@ class BaseModel:
             # to the last f32 ulp — measured on hardware, they don't (~1-2
             # ulps apart), which is harmless for the f32 context chain but
             # desynchronizes the rANS stream when the bf16 Pallas kernels
-            # amplify the ulp through their input cast.
-            assert self.use_charm and self.context_type == \
-                "Minnen20CharmContextModel"
+            # amplify the ulp through their input cast.  (Also dispatch 1 of
+            # the generic replay chain — nothing here is Charm-specific.)
             tprec = self.transform_precision
             tdt = self.transform_dtype
             convert01 = self.convert_img_range
@@ -472,47 +471,43 @@ class BaseModel:
                      indexes.astype(jnp.int16).reshape(nb, -1),
                      z_sym.reshape(nb, -1), meta16], axis=1)
                 return wire, y_hat
-        elif name == "encode_full_generic":
-            # The non-Charm counterpart of ``encode_full``: the ENTIRE encode
-            # side of every hyperprior-style family (Balle18 / Cheng20 /
-            # Minnen20-without-charm / checkerboard) as ONE device program —
-            # analysis + hyper-analysis, z hard-round around the medians,
-            # hyper-decode, per-family entropy params (net.compress_params
-            # dispatches to the plain split, the conditional, or the
-            # checkerboard context), rANS symbols/indexes, predicted bits —
-            # replacing the 3-dispatch/6-transfer pipeline (VERDICT r2 weak
-            # #6: encode -> blocking d2h -> params -> blocking d2h -> rANS).
+        elif name == "generic_params":
+            # The SHARED entropy-parameter executable of the generic
+            # (non-Charm, non-checkerboard) families: z dequantize +
+            # hyper-decode + mean/scale split + rANS indexes, one program.
+            # Both the encoder (dispatch 2 of its replay chain) and the
+            # decoder (its bootstrap) run THIS executable, so the indexes
+            # that choose the CDF rows are bit-identical on both sides by
+            # construction — the generic counterpart of the Charm path's
+            # ``decode_begin`` replay (see encode_head's rationale).
             from ..entropy.gaussian import build_indexes as dev_indexes
 
             bound = self.codec_y.scale_bound
-            tprec = self.transform_precision
-            tdt = self.transform_dtype
-            convert01 = self.convert_img_range
 
-            def fn(params, x, rate_ind, table):
-                if x.dtype == jnp.uint8:
-                    # device-side uint8_to_tensor (bit-identical f32 ops)
-                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
-                    if convert01:  # data_preprocess: [-1,1] -> [0,1]
-                        x = (x + 1.0) / 2.0
-                with _precision_scope(tprec):
-                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
-                    y, z = _apply_encode_latents(net, params, x, kw, tdt)
+            def fn(params, z_sym, table):
                 med = params["entropy_model_z"]["quantiles"][:, 0, 1] \
                     [None, None, None, :]
-                z_sym = jnp.round(z - med)
-                z_hat = z_sym + med
-                z_lik = net.apply({"params": params}, z,
-                                  method=lambda n, zz: n.z_likelihood_eval(zz))
-                y_mean, y_scale, y_hat, y_lik = net.apply(
-                    {"params": params}, y, z_hat,
-                    method=lambda n, yy, zz: n.compress_params(yy, zz))
-                symbols = jnp.round(y - y_mean)
+                z_hat = z_sym.astype(jnp.float32) + med
+                hyper_out = net.apply({"params": params}, z_hat,
+                                      method=lambda n, zz: n.hyper_decode(zz))
+                y_mean, y_scale = jnp.split(hyper_out, 2, axis=-1)
                 indexes = dev_indexes(y_scale, table, bound)
-                pred_y_bits = -jnp.sum(
-                    jnp.log2(jnp.maximum(y_lik, 1e-12)), axis=(1, 2, 3))
-                pred_z_bits = -jnp.sum(
-                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
+                return z_hat, y_mean, y_scale, indexes.astype(jnp.uint8)
+        elif name == "generic_pack":
+            # Generic encode, dispatch 3 of 3: symbols around the replayed
+            # mean, predicted bits, and the packed int16 wire — ONE d2h for
+            # the whole encode (the replay-chain successor of the former
+            # single fused program; cost profile unchanged, no host syncs
+            # between the three chained dispatches).
+            from ..entropy.gaussian import gaussian_likelihood
+
+            bound = self.codec_y.scale_bound
+
+            def fn(params, y, y_mean, y_scale, indexes, z_sym, pred_z_bits):
+                symbols = jnp.round(y - y_mean)
+                y_hat = symbols + y_mean
+                lik = gaussian_likelihood(symbols, y_scale, bound)
+                pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))
                 maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
                 nb = symbols.shape[0]
                 meta = jnp.stack([pred_y_bits, pred_z_bits, maxabs], axis=1)
@@ -522,7 +517,35 @@ class BaseModel:
                     [symbols.astype(jnp.int16).reshape(nb, -1),
                      indexes.astype(jnp.int16).reshape(nb, -1),
                      z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
-                return wire, y_hat, z_hat
+                return wire, y_hat
+        elif name == "generic_final":
+            # Generic decode tail: dequantize around the replayed mean +
+            # synthesis transform in one dispatch.  ``sym`` is int16 from
+            # the host rANS (compressai wire) or f32 from the on-device
+            # lane decoder (device wire).
+            tprec = self.transform_precision
+            tdt = self.transform_dtype
+            uint8_io = self.codec_uint8_io
+            convert01 = self.convert_img_range
+
+            def fn(params, sym, y_mean, rate_ind, beta):
+                y_hat = sym.astype(y_mean.dtype) + y_mean
+                kw = {}
+                if self.use_rate:
+                    kw["rate_ind"] = rate_ind
+                if self.use_beta:
+                    kw["beta"] = beta
+                with _precision_scope(tprec):
+                    img = _apply_decode(net, params, y_hat, kw, tdt)
+                lo = 0.0 if convert01 else -1.0
+                img = jnp.clip(img, lo, 1.0)
+                if uint8_io:
+                    if convert01:
+                        img = img * 2.0 - 1.0
+                    u8 = jnp.clip(jnp.round((img + 1.0) * 127.5), 0, 255) \
+                        .astype(jnp.uint8)
+                    return u8, y_hat
+                return img, y_hat
         elif name == "encode_full_cb":
             # Checkerboard fused encode.  Entropy params MUST come from the
             # same packed phase kernels the decoder runs (ops/cb_uniform.py):
@@ -644,14 +667,11 @@ class BaseModel:
             from ..ops.device_rans import (apply_fixups, expand_tables,
                                            init_lane_state, lane_decode_round)
 
-            sc = self.slice_ch
-
             def fn(states, ptrs, words, idx, fix_pos, fix_val, fix_act, lo,
                    cdf, cdf_len, cdf_off):
-                n_, h_, w_, _ = idx.shape
-                m = h_ * w_ * sc
-                first = states is None
-                if first:
+                n_ = idx.shape[0]
+                m = int(np.prod(idx.shape[1:]))
+                if states is None:  # first round: seed lanes from the words
                     states, ptrs = init_lane_state(words)
                 rows, lens, offs = expand_tables(
                     idx.reshape(n_, m), cdf, cdf_len, cdf_off)
@@ -659,7 +679,7 @@ class BaseModel:
                     states, ptrs, words, rows, lens, offs, m)
                 vals = apply_fixups(vals, fix_pos, fix_val, fix_act,
                                     lo.astype(jnp.int32), m)
-                sym = vals.reshape(n_, h_, w_, sc).astype(jnp.float32)
+                sym = vals.reshape(idx.shape).astype(jnp.float32)
                 return sym, states, ptrs
         elif name == "decode_final":
             # fused tail: final slice reconstruction + full-latent concat +
@@ -765,12 +785,25 @@ class BaseModel:
         if self._is_checkerboard:
             # params from the SAME packed phase kernels the decoder runs —
             # the flax compress_params path is not bit-identical to them
+            if self.wire_format == "device":
+                raise NotImplementedError(
+                    "wire_format: device is not implemented for the "
+                    "checkerboard context; use the compressai wire")
             cp_params = {"net": self.params, "packed": self._charm_packed}
             wire, y_hat, z_hat = self._codec_fn("encode_full_cb")(
                 cp_params, x, ri, self._table_dev)
         else:
-            wire, y_hat, z_hat = self._codec_fn("encode_full_generic")(
-                self.params, x, ri, self._table_dev)
+            # generic replay chain (mirrors _compress_charm): encode_head ->
+            # the decoder's own ``generic_params`` executable -> pack.  Three
+            # async dispatches, no host syncs between them, one d2h — and the
+            # indexes/means are bit-identical to what the decoder will
+            # recompute, by construction.
+            y, z_sym16, pred_z_dev = self._codec_fn("encode_head")(
+                self.params, x, ri)
+            z_hat, y_mean, y_scale, idx_u8 = self._codec_fn(
+                "generic_params")(self.params, z_sym16, self._table_dev)
+            wire, y_hat = self._codec_fn("generic_pack")(
+                self.params, y, y_mean, y_scale, idx_u8, z_sym16, pred_z_dev)
         wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
         timing["device_encode_s"] = _time.perf_counter() - t0
 
@@ -795,6 +828,12 @@ class BaseModel:
                 _checkerboard_serialize(idx[i:i + 1], self.num_slices),
                 self.codec_y.quantized_cdf, self.codec_y.cdf_length,
                 self.codec_y.offset) for i in range(N)]
+        elif self.wire_format == "device":
+            # one lane round covering the whole latent, [h, w, C] C-order
+            # (the decoder's generic_params index order)
+            y_str = self._lane_serialize(
+                sym.reshape(N, -1), idx.reshape(N, -1),
+                np.asarray([0, ylen], np.int64))
         else:
             # channel-major rANS serialization (stream-layout parity)
             sym_flat = sym.transpose(0, 3, 1, 2).reshape(N, -1)
@@ -883,7 +922,17 @@ class BaseModel:
         z_sym_np = z_f.reshape(N, zH, zW, self.zC)
         z_str = self.codec_z.compress_symbols(z_sym_np.astype(np.int32))
         if self.wire_format == "device":
-            y_str = self._lane_serialize(sym_f, idx_f, N, yH, yW)
+            # slice-major flat (the decoder's consumption order: for each
+            # slice, [h, w, sc] C-order)
+            ns, sc = self.num_slices, self.slice_ch
+
+            def tolanes(a):
+                return a.reshape(N, yH, yW, ns, sc).transpose(0, 3, 1, 2, 4) \
+                    .reshape(N, -1)
+
+            y_str = self._lane_serialize(
+                tolanes(sym_f), tolanes(idx_f),
+                np.arange(ns + 1, dtype=np.int64) * (yH * yW * sc))
         else:
             # channel-major rANS serialization (stream-layout parity)
             sym_flat = sym_f.reshape(N, yH, yW, self.yC) \
@@ -941,6 +990,9 @@ class BaseModel:
                     [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
             return self._decompress_charm([z_str], [y_str], zH, zW, rate_ind,
                                           beta, H, W)
+        if self.wire_format == "device" and not self._is_checkerboard:
+            return self._decompress_generic_device(
+                [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
 
         timing = {}
         t0 = _time.perf_counter()
@@ -997,6 +1049,10 @@ class BaseModel:
             fn = (self._decompress_charm_device
                   if self.wire_format == "device" else self._decompress_charm)
             return fn(
+                [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
+                zH, zW, rate_ind, beta, H, W)
+        if self.wire_format == "device" and not self._is_checkerboard:
+            return self._decompress_generic_device(
                 [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
                 zH, zW, rate_ind, beta, H, W)
         outs = [self.decompress(sl, beta=beta) for sl in string_lists]
@@ -1097,29 +1153,25 @@ class BaseModel:
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
 
-    def _lane_serialize(self, sym_f: np.ndarray, idx_f: np.ndarray, N: int,
-                        yH: int, yW: int) -> List[bytes]:
-        """Device-wire y serialization: per image, flatten slice-major (the
-        decoder's consumption order: for each slice, [h, w, sc] C-order) and
-        lane-encode into K rans32 streams + escape fixups."""
+    def _lane_serialize(self, sym_l: np.ndarray, idx_l: np.ndarray,
+                        slice_off: np.ndarray) -> List[bytes]:
+        """Device-wire y serialization: lane-encode pre-flattened
+        (decode-consumption-order) symbols/indexes [N, M] into K rans32
+        streams + escape fixups, one container per image.  ``slice_off``:
+        the autoregressive round boundaries (where lane assignment
+        restarts — one round per Charm slice; a single round generically)."""
         from ..runtime.lane_rans import lane_encode, pack_lane_container
 
-        ns, sc = self.num_slices, self.slice_ch
-        m = yH * yW * sc
+        m = int(slice_off[1] - slice_off[0])  # symbols per round
         # lane count: the config value, auto-reduced for small latents so the
         # fixed per-lane cost (2 state words + a u16 length) stays a few
         # percent of the stream; the decoder reads K from the container.
         k = min(self.device_wire_lanes,
                 max(8, 1 << max(0, (m // 64).bit_length() - 1)))
-        # [N, h, w, ns*sc] -> slice-major flat [N, ns*m]
-        def tolanes(a):
-            return a.reshape(N, yH, yW, ns, sc).transpose(0, 3, 1, 2, 4) \
-                .reshape(N, -1).astype(np.int32)
-
-        sym_l, idx_l = tolanes(sym_f), tolanes(idx_f)
-        slice_off = np.arange(ns + 1, dtype=np.int64) * m
+        sym_l = sym_l.astype(np.int32)
+        idx_l = idx_l.astype(np.int32)
         out = []
-        for i in range(N):
+        for i in range(sym_l.shape[0]):
             cap = self.device_wire_fixup_cap
             while True:
                 try:
@@ -1134,6 +1186,73 @@ class BaseModel:
                         raise
             out.append(pack_lane_container(*enc))
         return out
+
+    def _upload_lane_streams(self, y_strs: List[bytes]):
+        """Unpack device-wire containers and upload [N, K, W] words + padded
+        fixup buffers (pow2 fixup padding bounds recompiles)."""
+        from ..runtime.lane_rans import unpack_lane_container
+
+        n = len(y_strs)
+        parts = [unpack_lane_container(ys) for ys in y_strs]
+        wmax = max(p[0].shape[1] for p in parts)
+        k = parts[0][0].shape[0]
+        fmax = max(64, max(p[2].size for p in parts))
+        fmax = 1 << (fmax - 1).bit_length()
+        words = np.zeros((n, k, wmax), np.uint32)
+        fix_pos = np.zeros((n, fmax), np.int32)
+        fix_val = np.zeros((n, fmax), np.int32)
+        fix_act = np.zeros((n, fmax), bool)
+        for i, (w, lens, fp, fv) in enumerate(parts):
+            words[i, :, :w.shape[1]] = w
+            f = fp.size
+            fix_pos[i, :f] = fp
+            fix_val[i, :f] = fv
+            fix_act[i, :f] = True
+        dev = self._dev
+        return (jax.device_put(words, dev), jax.device_put(fix_pos, dev),
+                jax.device_put(fix_val, dev), jax.device_put(fix_act, dev))
+
+    def _decompress_generic_device(self, z_strs: List[bytes],
+                                   y_strs: List[bytes], zH: int, zW: int,
+                                   rate_ind, beta: float, H: int, W: int):
+        """Device-wire decode for the generic (non-Charm) families: the
+        decoder's ``generic_params`` executable (the same one the encoder
+        replayed) -> on-device lane decode -> dequantize + synthesis.  One
+        uninterrupted async chain, one blocking sync — versus the serial
+        path's hyper-decode sync + host rANS + synthesis."""
+        import time as _time
+
+        timing = {}
+        t0 = _time.perf_counter()
+        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
+        timing["host_unpack_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        dev = self._dev
+        ytab = self._ytab()
+        z_hat, y_mean, _y_scale, idx_u8 = self._codec_fn("generic_params")(
+            self.params, jax.device_put(z_sym.astype(np.int16), dev),
+            self._table_dev)
+        sym, _, _ = self._codec_fn("rans_round")(
+            None, None, words_d, idx_u8, fp_d, fv_d, fa_d, np.int32(0),
+            ytab["cdf"], ytab["len"], ytab["off"])
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        fake, y_hat = self._codec_fn("generic_final")(
+            self.params, sym, y_mean, ri, bt)
+        fake = np.asarray(fake)  # the ONLY blocking sync of the decode
+        timing["device_chain_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        if fake.dtype == np.uint8:  # codec_uint8_io: device sent uint8
+            fake = uint8_to_tensor(fake)
+            if self.convert_img_range:
+                fake = (fake + 1.0) / 2.0
+        fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        timing["postprocess_s"] = _time.perf_counter() - t0
+        self.last_decode_timing = timing
+        return fake, z_hat, y_hat
 
     def _decompress_charm_device(self, z_strs: List[bytes],
                                  y_strs: List[bytes], zH: int, zW: int,
@@ -1150,35 +1269,12 @@ class BaseModel:
         """
         import time as _time
 
-        from ..runtime.lane_rans import unpack_lane_container
-
         assert self._charm_packed is not None, "codec_setup() builds weights"
         timing = {}
         t0 = _time.perf_counter()
-        n = len(y_strs)
         z_sym = self.codec_z.decompress(z_strs, (zH, zW))
-
-        # host: unpack lane containers, pad words/fixups to common shapes
-        parts = [unpack_lane_container(ys) for ys in y_strs]
-        wmax = max(p[0].shape[1] for p in parts)
-        k = parts[0][0].shape[0]
-        fmax = max(64, max(p[2].size for p in parts))
-        fmax = 1 << (fmax - 1).bit_length()  # pow2 pad bounds recompiles
-        words = np.zeros((n, k, wmax), np.uint32)
-        fix_pos = np.zeros((n, fmax), np.int32)
-        fix_val = np.zeros((n, fmax), np.int32)
-        fix_act = np.zeros((n, fmax), bool)
-        for i, (w, lens, fp, fv) in enumerate(parts):
-            words[i, :, :w.shape[1]] = w
-            f = fp.size
-            fix_pos[i, :f] = fp
-            fix_val[i, :f] = fv
-            fix_act[i, :f] = True
+        words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
         dev = self._dev
-        words_d = jax.device_put(words, dev)
-        fp_d = jax.device_put(fix_pos, dev)
-        fv_d = jax.device_put(fix_val, dev)
-        fa_d = jax.device_put(fix_act, dev)
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()

@@ -83,6 +83,68 @@ def test_device_wire_batch(device_wire_model):
                                       np.asarray(e["y_hat"])[0])
 
 
+def test_device_wire_generic_roundtrip():
+    """Non-Charm family through the device wire: one lane round over the
+    whole latent, decode via the shared generic_params executable."""
+    opt = tiny_opt("HyperpriorModel", charm=False, rate=False, beta=False)
+    opt["wire_format"] = "device"
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    model.codec_setup()
+    x = np.random.default_rng(11).uniform(-1, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    encs = model.compress_batch(x)
+    fake, z_hat, y_hat = model.decompress_batch(
+        [e["string_list"] for e in encs])
+    for i, e in enumerate(encs):
+        np.testing.assert_array_equal(np.asarray(y_hat)[i],
+                                      np.asarray(e["y_hat"])[0])
+        np.testing.assert_allclose(np.asarray(z_hat)[i],
+                                   np.asarray(e["z_hat"])[0],
+                                   rtol=1e-5, atol=1e-5)
+    assert fake.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(fake))
+
+
+def test_device_wire_generic_matches_compressai():
+    """Generic family: both wires reconstruct identically."""
+    opt = tiny_opt("HyperpriorModel", charm=False, rate=False, beta=False)
+    ref = build_comp_model(opt)
+    ref.init_params(input_size=64)
+    ref.codec_setup()
+    opt2 = tiny_opt("HyperpriorModel", charm=False, rate=False, beta=False)
+    opt2["wire_format"] = "device"
+    dev = build_comp_model(opt2)
+    dev.init_params(input_size=64)
+    dev.codec_setup()
+    x = np.random.default_rng(13).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    e_ref = ref.compress(x)
+    e_dev = dev.compress(x)
+    np.testing.assert_array_equal(np.asarray(e_ref["y_hat"]),
+                                  np.asarray(e_dev["y_hat"]))
+    f_ref, _, yh_ref = ref.decompress(e_ref["string_list"])
+    f_dev, _, yh_dev = dev.decompress(e_dev["string_list"])
+    np.testing.assert_array_equal(np.asarray(yh_ref), np.asarray(yh_dev))
+    np.testing.assert_array_equal(f_ref, f_dev)
+
+
+def test_device_wire_checkerboard_raises():
+    opt = tiny_opt()
+    opt.subnet.context_model = {
+        "type": "ElicCheckerboardCharmContextModel", "num_slices": 4,
+        "hyper_out_ch": 64, "bottleneck_y": 32, "max_support_slices": 2,
+    }
+    opt["wire_format"] = "device"
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    model.codec_setup()
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    with pytest.raises(NotImplementedError):
+        model.compress(x, rate_ind=0.0)
+
+
 def test_device_wire_stream_size_tracks_prediction(device_wire_model):
     """Lane overhead (per-lane state flush + lens) is bounded: real bits
     within ~25% + fixed slack of predicted on the tiny model."""
