@@ -91,6 +91,8 @@ class BaseModel:
         self.codec_y: Optional[GaussianConditionalCodec] = None
         self.header_handler = None
         self._jit_cache: Dict[str, Any] = {}
+        self._cb_ids_cache: Dict[Tuple[int, int], Tuple[np.ndarray,
+                                                        np.ndarray]] = {}
         # context-model geometry / kind
         cm = subnet_opt.get("context_model")
         self.context_type = cm["type"] if cm is not None else None
@@ -546,6 +548,117 @@ class BaseModel:
                         .astype(jnp.uint8)
                     return u8, y_hat
                 return img, y_hat
+        elif name == "cb_begin":
+            # checkerboard device-wire bootstrap: z dequantize + hyper-decode
+            # + the zero-filled loop-carry buffers, one dispatch.  The zero
+            # carries are created ON DEVICE so round 0 uploads nothing.
+            msup, sc = self.max_support_slices, self.slice_ch
+
+            def fn(params, z_sym, table, na_ids):
+                p = params["net"]
+                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
+                    [None, None, None, :]
+                z_hat = z_sym.astype(jnp.float32) + med
+                hyper_out = net.apply({"params": p}, z_hat,
+                                      method=lambda n, zz: n.hyper_decode(zz))
+                hm, hs = jnp.split(hyper_out, 2, axis=-1)
+                n_, h_, w_ = hm.shape[:3]
+                support0 = jnp.zeros((n_, h_, w_, msup * sc), hm.dtype)
+                zeros = jnp.zeros((n_, h_, w_, sc), hm.dtype)
+                sym_na0 = jnp.zeros((n_, na_ids.shape[0] * sc), hm.dtype)
+                return hm, hs, support0, sym_na0, zeros, zeros, z_hat
+        elif name == "cb_a_dev":
+            # device-wire checkerboard phase A: scatter the previous round's
+            # non-anchor symbols back onto the grid, finish slice i-1, emit
+            # slice i's channel-context params + the ANCHOR indexes gathered
+            # into the stream consumption order (cell-major, channels
+            # contiguous) — ready to feed ``rans_round`` directly.
+            from ..ops.cb_uniform import cb_phase_a
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+
+            def fn(params, i, hm, hs, support, sym_na_flat, y_a, mu_c, table,
+                   a_ids, na_ids):
+                packed = params["packed"]
+                n_, h_, w_ = hm.shape[:3]
+                sym_na = jnp.zeros((n_, h_ * w_, sc), hm.dtype).at[
+                    :, na_ids, :].set(
+                        sym_na_flat.astype(hm.dtype).reshape(
+                            n_, na_ids.shape[0], sc)).reshape(n_, h_, w_, sc)
+                y_prev, support, mu, sigma, idx = cb_phase_a(
+                    packed, i, hm, hs, support, sym_na, y_a, mu_c, table,
+                    bound, ns, sc, msup, actv)
+                idx_a = idx.reshape(n_, h_ * w_, sc)[:, a_ids, :] \
+                    .reshape(n_, -1)
+                return y_prev, support, mu, sigma, idx_a.astype(jnp.uint8)
+        elif name == "cb_b_dev":
+            # device-wire checkerboard phase B: scatter the decoded anchor
+            # symbols, run the spatial context, emit the NON-ANCHOR indexes
+            # in stream order.
+            from ..ops.cb_uniform import cb_phase_b
+
+            bound = self.codec_y.scale_bound
+            sc = self.slice_ch
+
+            def fn(params, i, sym_a_flat, mu, sigma, table, a_ids, na_ids):
+                packed = params["packed"]
+                n_, h_, w_ = mu.shape[:3]
+                sym_a = jnp.zeros((n_, h_ * w_, sc), mu.dtype).at[
+                    :, a_ids, :].set(
+                        sym_a_flat.astype(mu.dtype).reshape(
+                            n_, a_ids.shape[0], sc)).reshape(n_, h_, w_, sc)
+                y_a, mu_c, _sigma_c, idx = cb_phase_b(
+                    packed, i, sym_a, mu, sigma, table, bound)
+                idx_na = idx.reshape(n_, h_ * w_, sc)[:, na_ids, :] \
+                    .reshape(n_, -1)
+                return y_a, mu_c, idx_na.astype(jnp.uint8)
+        elif name == "cb_final":
+            # device-wire checkerboard tail: scatter the last non-anchor
+            # round, finish the last slice, concat + synthesis — one dispatch
+            # (mirrors ``decode_final``).
+            from ..ops.cb_uniform import cb_reconstruct_last
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            ns, sc = self.num_slices, self.slice_ch
+            tprec = self.transform_precision
+            tdt = self.transform_dtype
+            uint8_io = self.codec_uint8_io
+            convert01 = self.convert_img_range
+
+            def fn(params, hm, support, sym_na_flat, y_a, mu_c, y_slices,
+                   na_ids, rate_ind, beta):
+                p, packed = params["net"], params["packed"]
+                n_, h_, w_ = hm.shape[:3]
+                sym_na = jnp.zeros((n_, h_ * w_, sc), hm.dtype).at[
+                    :, na_ids, :].set(
+                        sym_na_flat.astype(hm.dtype).reshape(
+                            n_, na_ids.shape[0], sc)).reshape(n_, h_, w_, sc)
+                y_last = cb_reconstruct_last(packed, hm, support, sym_na,
+                                             y_a, mu_c, ns, actv)
+                y_hat = jnp.concatenate(list(y_slices) + [y_last], axis=-1)
+                kw = {}
+                if self.use_rate:
+                    kw["rate_ind"] = rate_ind
+                if self.use_beta:
+                    kw["beta"] = beta
+                with _precision_scope(tprec):
+                    img = _apply_decode(net, p, y_hat, kw, tdt)
+                lo = 0.0 if convert01 else -1.0
+                img = jnp.clip(img, lo, 1.0)
+                if uint8_io:
+                    if convert01:
+                        img = img * 2.0 - 1.0
+                    u8 = jnp.clip(jnp.round((img + 1.0) * 127.5), 0, 255) \
+                        .astype(jnp.uint8)
+                    return u8, y_hat
+                return img, y_hat
         elif name == "encode_full_cb":
             # Checkerboard fused encode.  Entropy params MUST come from the
             # same packed phase kernels the decoder runs (ops/cb_uniform.py):
@@ -785,10 +898,6 @@ class BaseModel:
         if self._is_checkerboard:
             # params from the SAME packed phase kernels the decoder runs —
             # the flax compress_params path is not bit-identical to them
-            if self.wire_format == "device":
-                raise NotImplementedError(
-                    "wire_format: device is not implemented for the "
-                    "checkerboard context; use the compressai wire")
             cp_params = {"net": self.params, "packed": self._charm_packed}
             wire, y_hat, z_hat = self._codec_fn("encode_full_cb")(
                 cp_params, x, ri, self._table_dev)
@@ -821,7 +930,26 @@ class BaseModel:
         z_str = self.codec_z.compress_symbols(z_sym_np)
         sym = sym_f.reshape(N, yH, yW, self.yC).astype(np.int32)
         idx = idx_f.reshape(N, yH, yW, self.yC).astype(np.int32)
-        if self._is_checkerboard:
+        if self._is_checkerboard and self.wire_format == "device":
+            # 2*num_slices lane rounds (anchors of slice i, then its
+            # non-anchors), each flattened cell-major with channels
+            # contiguous — exactly the gather order of the decoder's
+            # cb_a_dev / cb_b_dev executables
+            a_ids, na_ids = self._cb_ids(yH, yW)
+            ns, sc = self.num_slices, self.slice_ch
+            s5 = sym.reshape(N, yH * yW, ns, sc)
+            i5 = idx.reshape(N, yH * yW, ns, sc)
+            parts_s, parts_i, off = [], [], [0]
+            for s in range(ns):
+                for ids in (a_ids, na_ids):
+                    parts_s.append(s5[:, ids, s, :].reshape(N, -1))
+                    parts_i.append(i5[:, ids, s, :].reshape(N, -1))
+                    off.append(off[-1] + ids.size * sc)
+            y_str = self._lane_serialize(
+                np.concatenate(parts_s, axis=1),
+                np.concatenate(parts_i, axis=1),
+                np.asarray(off, np.int64))
+        elif self._is_checkerboard:
             # decode-order serialization: per slice anchors, non-anchors
             y_str = [rans_encode_with_indexes(
                 _checkerboard_serialize(sym[i:i + 1], self.num_slices),
@@ -990,7 +1118,10 @@ class BaseModel:
                     [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
             return self._decompress_charm([z_str], [y_str], zH, zW, rate_ind,
                                           beta, H, W)
-        if self.wire_format == "device" and not self._is_checkerboard:
+        if self.wire_format == "device":
+            if self._is_checkerboard:
+                return self._decompress_cb_device(
+                    [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
             return self._decompress_generic_device(
                 [z_str], [y_str], zH, zW, rate_ind, beta, H, W)
 
@@ -1051,8 +1182,10 @@ class BaseModel:
             return fn(
                 [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
                 zH, zW, rate_ind, beta, H, W)
-        if self.wire_format == "device" and not self._is_checkerboard:
-            return self._decompress_generic_device(
+        if self.wire_format == "device":
+            fn = (self._decompress_cb_device if self._is_checkerboard
+                  else self._decompress_generic_device)
+            return fn(
                 [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
                 zH, zW, rate_ind, beta, H, W)
         outs = [self.decompress(sl, beta=beta) for sl in string_lists]
@@ -1186,6 +1319,92 @@ class BaseModel:
                         raise
             out.append(pack_lane_container(*enc))
         return out
+
+    def _cb_ids(self, h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Row-major spatial cell indexes of the checkerboard anchors
+        ((y+x) % 2 == 0) and non-anchors — the device wire's flattening
+        order, shared by the host serializer and the device gather/scatter
+        executables (order agreement is structural, not conventional)."""
+        key = (h, w)
+        if key not in self._cb_ids_cache:
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            mask = ((yy + xx) % 2 == 0).reshape(-1)
+            self._cb_ids_cache[key] = (
+                np.flatnonzero(mask).astype(np.int32),
+                np.flatnonzero(~mask).astype(np.int32))
+        return self._cb_ids_cache[key]
+
+    def _decompress_cb_device(self, z_strs: List[bytes], y_strs: List[bytes],
+                              zH: int, zW: int, rate_ind, beta: float,
+                              H: int, W: int):
+        """Device-wire checkerboard decode: ONE uninterrupted async dispatch
+        chain (the checkerboard counterpart of _decompress_charm_device).
+        Per slice, TWO lane rounds ride between the phase executables —
+        anchors after cb_a_dev, non-anchors after cb_b_dev — so the
+        2*num_slices-round autoregression runs with zero host round trips
+        until the final image fetch."""
+        import time as _time
+
+        assert self._charm_packed is not None, "codec_setup() builds weights"
+        timing = {}
+        t0 = _time.perf_counter()
+        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
+        dev = self._dev
+        yH, yW = zH * 4, zW * 4  # y grid = 4x the z grid
+        a_ids, na_ids = self._cb_ids(yH, yW)
+        a_ids_d = jax.device_put(a_ids, dev)
+        na_ids_d = jax.device_put(na_ids, dev)
+        timing["host_unpack_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        cp = {"net": self.params, "packed": self._charm_packed}
+        table = self._table_dev
+        ytab = self._ytab()
+        hm, hs, support, sym_na_f, y_a, mu_c, z_hat = self._codec_fn(
+            "cb_begin")(cp, jax.device_put(z_sym.astype(np.int16), dev),
+                        table, na_ids_d)
+        ns, sc = self.num_slices, self.slice_ch
+        rans = self._codec_fn("rans_round")
+        fa = self._codec_fn("cb_a_dev")
+        fb = self._codec_fn("cb_b_dev")
+        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        bt = self._dev_scalar("b", beta) if self.use_beta else None
+
+        states = ptrs = None
+        off = 0
+        y_slices: List[Array] = []
+        for i in range(ns):
+            y_prev, support, mu, sigma, idx_a = fa(
+                cp, jnp.int32(i), hm, hs, support, sym_na_f, y_a, mu_c,
+                table, a_ids_d, na_ids_d)
+            if i > 0:
+                y_slices.append(y_prev)
+            sym_a_f, states, ptrs = rans(
+                states, ptrs, words_d, idx_a, fp_d, fv_d, fa_d,
+                np.int32(off), ytab["cdf"], ytab["len"], ytab["off"])
+            off += a_ids.size * sc
+            y_a, mu_c, idx_na = fb(cp, jnp.int32(i), sym_a_f, mu, sigma,
+                                   table, a_ids_d, na_ids_d)
+            sym_na_f, states, ptrs = rans(
+                states, ptrs, words_d, idx_na, fp_d, fv_d, fa_d,
+                np.int32(off), ytab["cdf"], ytab["len"], ytab["off"])
+            off += na_ids.size * sc
+        fake, y_hat = self._codec_fn("cb_final")(
+            cp, hm, support, sym_na_f, y_a, mu_c, tuple(y_slices), na_ids_d,
+            ri, bt)
+        fake = np.asarray(fake)  # the ONLY blocking sync of the decode
+        timing["device_chain_s"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        if fake.dtype == np.uint8:  # codec_uint8_io: device sent uint8
+            fake = uint8_to_tensor(fake)
+            if self.convert_img_range:
+                fake = (fake + 1.0) / 2.0
+        fake = self.data_postprocess(fake, size=(H, W), is_train=False)
+        timing["postprocess_s"] = _time.perf_counter() - t0
+        self.last_decode_timing = timing
+        return fake, z_hat, y_hat
 
     def _upload_lane_streams(self, y_strs: List[bytes]):
         """Unpack device-wire containers and upload [N, K, W] words + padded

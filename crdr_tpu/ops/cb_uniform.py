@@ -116,6 +116,24 @@ def cb_phase_b(packed: Dict[str, Array], slice_idx: Array, sym_a: Array,
     return y_a, mu_c, sigma_c, _indexes(sigma_c, scale_table, scale_bound)
 
 
+def cb_reconstruct_last(packed: Dict[str, Array], hyper_mean: Array,
+                        support_buf: Array, sym_na: Array, y_a: Array,
+                        mu_c: Array, num_slices: int, actv: str = "relu"
+                        ) -> Array:
+    """Finish the LAST slice outside the loop (the decode chain's tail):
+    non-anchor reconstruct + LRP — the ``y_prev`` computation of
+    :func:`cb_phase_a` at ``slice_idx == num_slices``, without the dead
+    params/indexes work (the checkerboard analog of
+    ``charm_uniform.uniform_reconstruct_last``)."""
+    h, w = hyper_mean.shape[1:3]
+    amask = anchor_mask(h, w, hyper_mean.dtype)[None, :, :, None]
+    y_prev = y_a + (sym_na + mu_c) * (1.0 - amask)
+    lrp_in = jnp.concatenate([hyper_mean, support_buf, y_prev], axis=-1)
+    lrp = 0.5 * jnp.tanh(_slice_transform(
+        packed, "lrp", jnp.int32(num_slices - 1), lrp_in, actv))
+    return y_prev + lrp
+
+
 def cb_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
                    hyper_scale: Array, scale_table: Array, scale_bound: float,
                    num_slices: int, slice_ch: int, max_support: int,

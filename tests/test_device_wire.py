@@ -129,20 +129,58 @@ def test_device_wire_generic_matches_compressai():
     np.testing.assert_array_equal(f_ref, f_dev)
 
 
-def test_device_wire_checkerboard_raises():
+def _cb_opt():
     opt = tiny_opt()
     opt.subnet.context_model = {
         "type": "ElicCheckerboardCharmContextModel", "num_slices": 4,
         "hyper_out_ch": 64, "bottleneck_y": 32, "max_support_slices": 2,
     }
+    return opt
+
+
+def test_device_wire_checkerboard_roundtrip():
+    """Checkerboard family through the device wire: 2*num_slices lane
+    rounds chained between the phase executables, zero host round trips."""
+    opt = _cb_opt()
     opt["wire_format"] = "device"
     model = build_comp_model(opt)
     model.init_params(input_size=64)
     model.codec_setup()
-    x = np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 3)) \
+    x = np.random.default_rng(17).uniform(-1, 1, (2, 64, 64, 3)) \
         .astype(np.float32)
-    with pytest.raises(NotImplementedError):
-        model.compress(x, rate_ind=0.0)
+    encs = model.compress_batch(x, rate_ind=1.0)
+    fake, z_hat, y_hat = model.decompress_batch(
+        [e["string_list"] for e in encs], beta=1.28)
+    for i, e in enumerate(encs):
+        np.testing.assert_array_equal(np.asarray(y_hat)[i],
+                                      np.asarray(e["y_hat"])[0])
+        np.testing.assert_allclose(np.asarray(z_hat)[i],
+                                   np.asarray(e["z_hat"])[0],
+                                   rtol=1e-5, atol=1e-5)
+    assert fake.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(fake))
+
+
+def test_device_wire_checkerboard_matches_compressai():
+    """Checkerboard: both wires reconstruct identically."""
+    ref = build_comp_model(_cb_opt())
+    ref.init_params(input_size=64)
+    ref.codec_setup()
+    opt2 = _cb_opt()
+    opt2["wire_format"] = "device"
+    dev = build_comp_model(opt2)
+    dev.init_params(input_size=64)  # same seed -> same params
+    dev.codec_setup()
+    x = np.random.default_rng(19).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    e_ref = ref.compress(x, rate_ind=2.0)
+    e_dev = dev.compress(x, rate_ind=2.0)
+    np.testing.assert_array_equal(np.asarray(e_ref["y_hat"]),
+                                  np.asarray(e_dev["y_hat"]))
+    f_ref, _, yh_ref = ref.decompress(e_ref["string_list"], beta=0.64)
+    f_dev, _, yh_dev = dev.decompress(e_dev["string_list"], beta=0.64)
+    np.testing.assert_array_equal(np.asarray(yh_ref), np.asarray(yh_dev))
+    np.testing.assert_array_equal(f_ref, f_dev)
 
 
 def test_device_wire_stream_size_tracks_prediction(device_wire_model):
