@@ -391,7 +391,7 @@ class BaseModel:
                                  method=lambda n, xx, rate_ind=None:
                                  n.encode_latents(xx, rate_ind), **kw)
         elif name == "encode_head":
-            # Charm encode, dispatch 1 of 3 (see _compress_charm): analysis +
+            # Encode dispatch 1 (see _compress_charm): analysis +
             # hyper-analysis transforms, z hard-round around the medians, and
             # the z bit estimate.  The hyper-DECODE deliberately does NOT
             # live here: the encoder reuses the decoder's own ``decode_begin``
@@ -424,38 +424,50 @@ class BaseModel:
                 pred_z_bits = -jnp.sum(
                     jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
                 return y, z_sym.astype(jnp.int16), pred_z_bits
-        elif name == "encode_tail":
-            # Charm encode, dispatch 3 of 3: the whole num_slices-step
-            # autoregressive pass (shape-uniform lax.scan sharing the
-            # decoder's slice kernels, ops/charm_uniform.py), rANS symbols/
-            # indexes, and the predicted bit counts, consuming the hm/hs the
-            # shared ``decode_begin`` executable produced.  The host gets
-            # everything it needs for entropy coding in ONE packed int16
-            # transfer — on a remote-attached TPU each synchronous fetch
-            # costs a full RTT.
+        elif name == "quantize_slice":
+            # Charm replay-encode helper: hard-round slice i of y around the
+            # mu the SHARED step executable just produced.  Output is int16
+            # — the same dtype the host-wire and device-wire decoders feed
+            # the step executable — so all three paths hit ONE compiled step
+            # program.  Shape-uniform in the slice index (one compile).
+            sc = self.slice_ch
+
+            def fn(y, i, mu):
+                y_slice = jax.lax.dynamic_slice_in_dim(y, i * sc, sc, axis=3)
+                return jnp.round(y_slice - mu).astype(jnp.int16)
+        elif name == "replay_pack":
+            # Charm replay-encode tail: gather the per-slice symbols/indexes
+            # the shared step executables produced, reconstruct the last
+            # slice (packed kernels, same math as decode_final's head),
+            # predicted bits + maxabs, and the packed int16 wire — ONE d2h
+            # for the whole encode.  The wire layout matches the former
+            # single-scan encoder, so the host unpack is unchanged.
             assert self.use_charm and self.context_type == \
                 "Minnen20CharmContextModel"
-            from ..entropy.gaussian import build_indexes as dev_indexes
             from ..entropy.gaussian import gaussian_likelihood
-            from ..ops.charm_uniform import uniform_encode_scan
+            from ..ops.charm_uniform import uniform_reconstruct_last
 
             cm_opt = self.net.subnet_opt["context_model"]
             actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
                 .get("actv", "relu")
             bound = self.codec_y.scale_bound
-            ns, sc, msup = (self.num_slices, self.slice_ch,
-                            self.max_support_slices)
+            ns = self.num_slices
 
             # NOTE: the packed weight stacks are threaded through the
             # params pytree (traced args) — closing over them would embed
             # ~100MB of literals into the HLO
-            def fn(params, y, hm, hs, z_sym, pred_z_bits, table):
+            def fn(params, hm, support, syms, idxs, sigmas, y_slices,
+                   mu_last, z_sym, pred_z_bits):
                 packed = params["packed"]
-                mu, sigma, y_hat = uniform_encode_scan(
-                    packed, y, hm, hs, ns, sc, msup, actv)
-                symbols = jnp.round(y - mu)
-                indexes = dev_indexes(sigma, table, bound)
-                lik = gaussian_likelihood(symbols, sigma, bound)
+                y_last = uniform_reconstruct_last(
+                    packed, hm, support, syms[-1].astype(hm.dtype), mu_last,
+                    ns, actv)
+                y_hat = jnp.concatenate(list(y_slices) + [y_last], axis=-1)
+                symbols = jnp.concatenate(list(syms), axis=-1)  # int16
+                indexes = jnp.concatenate(list(idxs), axis=-1)  # uint8
+                sigma = jnp.concatenate(list(sigmas), axis=-1)
+                lik = gaussian_likelihood(symbols.astype(sigma.dtype), sigma,
+                                          bound)
                 pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
                 maxabs = jnp.max(jnp.abs(y_hat))
                 # EVERYTHING the host entropy coder needs rides home in ONE
@@ -469,7 +481,7 @@ class BaseModel:
                 meta16 = jax.lax.bitcast_convert_type(
                     meta, jnp.int16).reshape(nb, -1)
                 wire = jnp.concatenate(
-                    [symbols.astype(jnp.int16).reshape(nb, -1),
+                    [symbols.reshape(nb, -1),
                      indexes.astype(jnp.int16).reshape(nb, -1),
                      z_sym.reshape(nb, -1), meta16], axis=1)
                 return wire, y_hat
@@ -765,10 +777,11 @@ class BaseModel:
                 n_, h_, w_ = hm.shape[:3]
                 support0 = jnp.zeros((n_, h_, w_, msup * sc), hm.dtype)
                 zeros = jnp.zeros((n_, h_, w_, sc), hm.dtype)
-                _, support, mu0, idx0 = uniform_decode_step(
+                _, support, mu0, sigma0, idx0 = uniform_decode_step(
                     packed, jnp.int32(0), hm, hs, support0, zeros, zeros,
                     table, bound, ns, sc, msup, actv)
-                return hm, hs, support, mu0, idx0.astype(jnp.uint8), z_hat
+                return (hm, hs, support, mu0, sigma0,
+                        idx0.astype(jnp.uint8), z_hat)
         elif name == "rans_round":
             # device-wire entropy decode of ONE autoregressive round: expand
             # the per-symbol CDF rows, advance all lanes, overlay fixups.
@@ -792,7 +805,11 @@ class BaseModel:
                     states, ptrs, words, rows, lens, offs, m)
                 vals = apply_fixups(vals, fix_pos, fix_val, fix_act,
                                     lo.astype(jnp.int32), m)
-                sym = vals.reshape(idx.shape).astype(jnp.float32)
+                # int16 symbols: the SAME input dtype the host-wire decode
+                # and the replay encoder feed the step executables, so every
+                # path shares one compiled step program (int16 holds any
+                # symbol the int16 wire itself can carry)
+                sym = vals.reshape(idx.shape).astype(jnp.int16)
                 return sym, states, ptrs
         elif name == "decode_final":
             # fused tail: final slice reconstruction + full-latent concat +
@@ -995,23 +1012,32 @@ class BaseModel:
         return results[0] if N == 1 else results
 
     def _compress_charm(self, x, N: int, H: int, W: int, rate_ind):
-        """Charm encode: THREE chained async device dispatches + host rANS.
+        """Charm encode by FULL EXECUTABLE REPLAY of the decode chain.
 
         Dispatch layout: ``encode_head`` (analysis/hyper-analysis + z round)
         -> the decoder's own ``decode_begin`` executable (z dequantize +
-        hyper-decode) -> ``encode_tail`` (the Charm scan + symbols/indexes/
-        wire).  No host sync happens between them — device arrays chain
-        d2d, and the single blocking d2h is the packed int16 wire fetch at
-        the end, so the cost equals the previous single fused program.
+        hyper-decode + slice-0 params) -> per slice, a tiny ``quantize_
+        slice`` program (round y_i around the replayed mu_i) chained with
+        the decoder's own shape-uniform step executable -> ``replay_pack``
+        (last-slice reconstruct + symbols/indexes/bits wire).  All ~2S+3
+        dispatches are asynchronous — device arrays chain d2d and the single
+        blocking d2h is the packed int16 wire fetch at the end — so the wall
+        cost over the former 3-dispatch scan encode is dispatch overhead
+        only, not round trips.
 
-        Running hyper-decode through the SAME compiled program the decoder
-        uses makes the hm/hs that drive the context chain bit-identical on
-        both sides by construction.  Two independently-fused XLA programs
-        only agree to ~1-2 f32 ulps on TPU (measured), which the f32 chain
-        tolerates statistically but the bf16 Pallas kernels (CRDR_PALLAS=1)
-        amplify into symbol flips: this structure is what makes the fast
-        kernel mode bitstream-safe, and it removes the residual
-        one-ulp-at-a-boundary risk from the f32 path too.
+        Why replay instead of the one-scan encoder: every entropy parameter
+        that picks a CDF row is now produced by the LITERAL SAME compiled
+        program on both sides, so encode/decode agreement is structural, not
+        numerical.  Two independently-fused XLA programs only agree to ~1-2
+        f32 ulps on TPU (measured), which a `highest`-precision chain
+        tolerates statistically but (a) leaves a one-ulp-at-a-boundary
+        desync risk, and (b) forbids dropping the chain to bf16-pass
+        precision (`codec_precision: default`) or the bf16 Pallas kernels
+        (CRDR_PALLAS=1) — the replay structure makes ALL of those
+        bitstream-safe by construction.  The reference never faces this
+        choice: its encode calls the same Python modules as decode
+        (minnen20_charm_context_model.py:143-199), which is exactly the
+        executable sharing this reproduces under jit.
 
         The host receives the y symbols/indexes as a single packed int16
         array and the z symbols as int16; y_hat/z_hat stay on device and are
@@ -1024,13 +1050,30 @@ class BaseModel:
         timing = {}
         t0 = _time.perf_counter()
         ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        table = self._table_dev
         cp_params = {"net": self.params, "packed": self._charm_packed}
         y, z_sym16, pred_z_dev = self._codec_fn("encode_head")(
             self.params, x, ri)
-        hm, hs, _support0, _mu0, _idx0, z_hat = self._codec_fn(
-            "decode_begin")(cp_params, z_sym16, self._table_dev)
-        wire, y_hat = self._codec_fn("encode_tail")(
-            cp_params, y, hm, hs, z_sym16, pred_z_dev, self._table_dev)
+        hm, hs, support, mu, sigma, idx, z_hat = self._codec_fn(
+            "decode_begin")(cp_params, z_sym16, table)
+        ns = self.num_slices
+        step = self._charm_step_fn()
+        quant = self._codec_fn("quantize_slice")
+        syms, idxs, sigmas = [], [], []
+        y_slices: List[Array] = []
+        for i in range(ns):
+            sym = quant(y, jnp.int32(i), mu)
+            syms.append(sym)
+            idxs.append(idx)
+            sigmas.append(sigma)
+            if i < ns - 1:
+                y_prev, support, mu, sigma, idx = step(
+                    self._charm_packed, jnp.int32(i + 1), hm, hs,
+                    support, sym, mu, table)
+                y_slices.append(y_prev)
+        wire, y_hat = self._codec_fn("replay_pack")(
+            cp_params, hm, support, tuple(syms), tuple(idxs), tuple(sigmas),
+            tuple(y_slices), mu, z_sym16, pred_z_dev)
         wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
         timing["device_encode_s"] = _time.perf_counter() - t0
 
@@ -1223,7 +1266,8 @@ class BaseModel:
         cp = {"net": self.params, "packed": self._charm_packed}
         table = self._table_dev
         dev = self._dev
-        hm, hs, support, mu, idx, z_hat = self._codec_fn("decode_begin")(
+        hm, hs, support, mu, _sigma, idx, z_hat = self._codec_fn(
+            "decode_begin")(
             cp, jax.device_put(z_sym.astype(np.int16), dev), table)
         timing["decode_begin_s"] = _time.perf_counter() - t0
 
@@ -1262,7 +1306,7 @@ class BaseModel:
                     dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
                     .astype(np.int16), dev)
                 if i < ns - 1:
-                    y_prev, support, mu, idx = step(
+                    y_prev, support, mu, _sigma, idx = step(
                         self._charm_packed, jnp.int32(i + 1), hm, hs,
                         support, sym, mu, table)
                     y_slices.append(y_prev)
@@ -1500,7 +1544,8 @@ class BaseModel:
         cp = {"net": self.params, "packed": self._charm_packed}
         table = self._table_dev
         ytab = self._ytab()
-        hm, hs, support, mu, idx, z_hat = self._codec_fn("decode_begin")(
+        hm, hs, support, mu, _sigma, idx, z_hat = self._codec_fn(
+            "decode_begin")(
             cp, jax.device_put(z_sym.astype(np.int16), dev), table)
         ns = self.num_slices
         step = self._charm_step_fn()
@@ -1516,7 +1561,7 @@ class BaseModel:
                 states, ptrs, words_d, idx, fp_d, fv_d, fa_d,
                 np.int32(i * m), ytab["cdf"], ytab["len"], ytab["off"])
             if i < ns - 1:
-                y_prev, support, mu, idx = step(
+                y_prev, support, mu, _sigma, idx = step(
                     self._charm_packed, jnp.int32(i + 1), hm, hs,
                     support, sym, mu, table)
                 y_slices.append(y_prev)
@@ -1555,12 +1600,12 @@ class BaseModel:
             # symbols ride h2d as int16 (halves the upload); math in f32
             sym_prev = sym_prev.astype(hyper_mean.dtype)
             with _precision_scope(prec):
-                y_prev, support, mu, indexes = uniform_decode_step(
+                y_prev, support, mu, sigma, indexes = uniform_decode_step(
                     packed, slice_idx, hyper_mean, hyper_scale, support_buf,
                     sym_prev, mu_prev, table, bound, ns, sc, msup, actv)
             # indexes go straight to a host fetch; uint8 quarters the d2h
             # (the scale table has < 256 entries)
-            return y_prev, support, mu, indexes.astype(jnp.uint8)
+            return y_prev, support, mu, sigma, indexes.astype(jnp.uint8)
 
         self._jit_cache["charm_uniform"] = jax.jit(
             fn, donate_argnums=(4,))

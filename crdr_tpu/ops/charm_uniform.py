@@ -156,6 +156,13 @@ def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
     10-slice loop runs on device with no host round trips, and the uniform
     shapes mean the scan body compiles once.
 
+    NO LONGER the production encoder: BaseModel._compress_charm now replays
+    the decoder's own step executables so encode/decode agreement is
+    structural (see its docstring).  Kept as the independent single-program
+    implementation of the same math — the unit tests cross-check it against
+    both the flax modules and the replay chain, which would catch a
+    packed-weight or step-ordering bug in either.
+
     Returns (y_mean, y_scale, y_hat) stacked back to full channel width.
     """
     n, h, w, _ = y.shape
@@ -212,16 +219,20 @@ def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
                         scale_table: Array, scale_bound: float,
                         num_slices: int, slice_ch: int, max_support: int,
                         actv: str = "relu"
-                        ) -> Tuple[Array, Array, Array, Array]:
+                        ) -> Tuple[Array, Array, Array, Array, Array]:
     """One serial-decode step, shape-uniform across slices.
 
     For call ``slice_idx = i`` (i in 0..num_slices):
       * if i > 0: reconstruct slice i-1 from (sym_prev, mu_prev) via LRP and
         write it into the support buffer (only while it is a support slice);
-      * if i < num_slices: produce (mu_i, rANS indexes_i) for the next host
-        decode (garbage, ignored, at i == num_slices).
+      * if i < num_slices: produce (mu_i, sigma_i, rANS indexes_i) for the
+        next decode round (garbage, ignored, at i == num_slices).
 
-    Returns (y_prev, support_buf, mu_i, indexes_i).
+    Returns (y_prev, support_buf, mu_i, sigma_i, indexes_i).  sigma is the
+    scale-bounded value; the ENCODER (which replays this very executable,
+    see BaseModel._compress_charm) consumes it for its predicted-bits
+    accounting — decoders ignore it.  It is already computed for the index
+    search, so exposing it costs one extra output buffer write.
     """
     i = jnp.asarray(slice_idx, jnp.int32)
     prev = jnp.maximum(i - 1, 0)
@@ -250,4 +261,4 @@ def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
     indexes = jnp.minimum(
         jnp.searchsorted(scale_table, sigma, side="left"),
         len(scale_table) - 1).astype(jnp.int32)
-    return y_prev, support_buf, mu, indexes
+    return y_prev, support_buf, mu, sigma, indexes

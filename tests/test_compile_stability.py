@@ -40,7 +40,10 @@ def test_codec_no_retrace_across_qualities():
     for b in (0.0, 2.56):
         model.decompress(enc["string_list"], beta=b)
     assert model._jit_cache["encode_head"]._cache_size() == 1
-    assert model._jit_cache["encode_tail"]._cache_size() == 1
+    assert model._jit_cache["quantize_slice"]._cache_size() == 1
+    assert model._jit_cache["replay_pack"]._cache_size() == 1
     assert model._jit_cache["decode_begin"]._cache_size() == 1
     assert model._jit_cache["decode_final"]._cache_size() == 1
+    # ONE step program serves all slices of BOTH the encoder's replay chain
+    # and the decoder (executable-replay contract)
     assert model._jit_cache["charm_uniform"]._cache_size() == 1

@@ -2,8 +2,9 @@
 
 The bf16 kernel changes mu/sigma slightly vs the f32 XLA path, so the
 bitstream is only correct if encoder and decoder run the kernel's EXACT
-arithmetic on bit-identical inputs.  Round 3 restructured the encode into
-encode_head -> (the decoder's own) decode_begin -> encode_tail precisely to
+arithmetic on bit-identical inputs.  Round 3 restructured the encode into a
+full replay of the decoder's own executables (encode_head -> decode_begin ->
+per-slice quantize+step -> replay_pack) precisely to
 guarantee that; this test drives compress+decompress end-to-end with the
 kernel active (interpret mode, so it runs in CPU CI) and asserts the
 invariants that a stream desync would break loudly:

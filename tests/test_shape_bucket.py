@@ -26,7 +26,8 @@ def test_bucketed_roundtrip_and_single_compile():
         np.testing.assert_allclose(y_hat, enc["y_hat"], rtol=1e-4, atol=1e-4)
     # every input above lands in the same 128x128 bucket -> one program each
     assert model._jit_cache["encode_head"]._cache_size() == 1
-    assert model._jit_cache["encode_tail"]._cache_size() == 1
+    assert model._jit_cache["quantize_slice"]._cache_size() == 1
+    assert model._jit_cache["replay_pack"]._cache_size() == 1
     assert model._jit_cache["decode_final"]._cache_size() == 1
 
 
