@@ -321,6 +321,17 @@ class BaseModel:
         self.wire_format = os.environ.get(
             "CRDR_WIRE", self.opt.get("wire_format", "compressai"))
         assert self.wire_format in ("compressai", "device"), self.wire_format
+        if self._is_checkerboard and self.codec_precision != "highest":
+            # Charm/generic encode REPLAYS the decoder's executables, so any
+            # chain precision is self-consistent by construction; the
+            # checkerboard encode is still a separately fused program whose
+            # agreement with the decode phases is numerical, which only
+            # `highest` keeps safe (observed desync otherwise — see the
+            # encode_full_cb comment)
+            raise ValueError(
+                "codec_precision must stay 'highest' for the checkerboard "
+                "context; only the Charm/generic families run a fully "
+                "executable-shared codec chain")
         self.device_wire_lanes = int(self.opt.get("device_wire_lanes", 128))
         self.device_wire_fixup_cap = int(
             self.opt.get("device_wire_fixup_cap", 256))

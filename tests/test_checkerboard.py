@@ -63,3 +63,14 @@ def test_checkerboard_codec_roundtrip(cb_model):
     assert fake.shape == (1, 64, 64, 3)
     real_bits = len(enc["string_list"][2]) * 8
     assert real_bits < enc["pred_y_bit"] * 1.2 + 300
+
+
+def test_checkerboard_rejects_low_precision_chain():
+    """codec_precision below `highest` is only executable-replay-safe for
+    the Charm/generic families; the checkerboard setup must refuse it."""
+    opt = cb_opt()
+    opt["codec_precision"] = "default"
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    with pytest.raises(ValueError, match="highest"):
+        model.codec_setup()
