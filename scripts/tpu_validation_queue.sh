@@ -1,0 +1,50 @@
+#!/bin/bash
+# One-shot TPU validation queue: everything the round-3 additions need from a
+# single healthy-relay window, sequenced (one JAX process at a time — the
+# relay must never be shared).  Run from the repo root; logs land in
+# /tmp/tpuval/.  Each leg is individually bounded so one hang cannot eat the
+# window.  Safe to re-run: every leg is read-only w.r.t. the repo (bench JSON
+# lines + RD CSVs are copied out at the end by hand after inspection).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpuval
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%T)) ===" | tee -a /tmp/tpuval/summary.log
+  timeout "$tmo" env "${ENV_EXTRA[@]}" "$@" >"/tmp/tpuval/$name.log" 2>&1
+  local rc=$?
+  tail -4 "/tmp/tpuval/$name.log" | tee -a /tmp/tpuval/summary.log
+  echo "--- $name rc=$rc" | tee -a /tmp/tpuval/summary.log
+}
+
+ENV_EXTRA=()
+
+# 1. Scored protocol: throughput config, both wire legs (device wire leg is
+#    on by default).  First compile ~2-4 min, cached after.
+run bench_throughput 1500 python bench.py
+
+# 2. Fastchain A/B: whole codec chain at default precision (bf16-capable).
+ENV_EXTRA=(CRDR_BENCH_CONFIG=crdr_fastchain.yaml)
+run bench_fastchain 1200 python bench.py
+ENV_EXTRA=()
+
+# 3. Pallas fused SliceTransform under the round-3 pipeline (bitstream-safe
+#    by executable replay; compiled Mosaic kernel, TPU only).
+ENV_EXTRA=(CRDR_PALLAS=1)
+run bench_pallas 1200 python bench.py
+ENV_EXTRA=()
+
+# 4. RD delta of the fastchain on the trained real-data checkpoint — same
+#    ckpt as docs/artifacts/rd_real_bf16/rd_curve.csv (bf16 transforms + f32
+#    chain), so the diff isolates the chain precision.
+run rd_fastchain 2400 python scripts/rd_sweep.py config/crdr_fastchain.yaml \
+    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/rd_fastchain
+
+# 5. CLI surface sanity (compress+decompress roundtrip on the demo set).
+run cli_roundtrip 1200 python scripts/compress.py config/crdr_throughput.yaml \
+    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/cli_out \
+    -q 1.0 -b 0.0 --decompress
+
+echo "=== queue done ($(date +%T)) ===" | tee -a /tmp/tpuval/summary.log
