@@ -30,6 +30,40 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
 
 
+def _require_backend(timeout_s: float) -> None:
+    """Bound JAX backend init: the TPU relay, when unhealthy, can hang
+    ``jax.devices()`` forever (observed 2026-08-18 — 20+ min).  Probe it in
+    a daemon thread; on timeout print an honest zero-valued JSON line (so
+    the driver records an explainable failure, not a stall) and hard-exit.
+    Nothing else is in flight at this point, so ``os._exit`` is safe."""
+    import threading
+
+    res = {}
+
+    def probe():
+        import jax
+
+        res["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in res:
+        print(f"bench: backend init exceeded {timeout_s:.0f}s — relay "
+              "unresponsive", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "encode+decode Mpixel/s (768x512 batch=8 pipelined, "
+                      "flagship CRDR, 1 chip)",
+            "value": 0.0,
+            "unit": "Mpixel/s",
+            "vs_baseline": 0.0,
+            "error": f"jax backend init timed out after {timeout_s:.0f}s "
+                     "(TPU relay unresponsive)",
+        }), flush=True)
+        os._exit(1)
+    print(f"bench: devices {res['devices']}", file=sys.stderr, flush=True)
+
+
 def run_pipeline(model, imgs):
     encs = model.compress_batch(imgs, rate_ind=2.0)
     fake, _, _ = model.decompress_batch([e["string_list"] for e in encs],
@@ -43,6 +77,7 @@ def main():
     H, W = 512, 768  # Kodak landscape
     BATCH = int(os.environ.get("CRDR_BENCH_BATCH", "8"))
     cfg_name = os.environ.get("CRDR_BENCH_CONFIG", "crdr_throughput.yaml")
+    _require_backend(float(os.environ.get("CRDR_BENCH_INIT_TIMEOUT", "600")))
     print(f"bench: building model ({cfg_name})...", file=sys.stderr,
           flush=True)
     model = _flagship_model(tiny=False, config_name=cfg_name)
