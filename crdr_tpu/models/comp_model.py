@@ -337,9 +337,36 @@ class BaseModel:
             self.opt.get("device_wire_fixup_cap", 256))
         self._ytab_cache = None
 
+        # Multi-device serving (capability extension — the reference serves
+        # one image on one GPU): `serving_devices: N` shards every batched
+        # codec dispatch over an N-device mesh along the batch axis.  Batch
+        # ops are embarrassingly parallel, so GSPMD partitions every program
+        # with zero collectives; constants/params are replicated.  Batches
+        # not divisible by N fall back to replicated placement (correct,
+        # just not sharded).  Bitstreams are identical either way: the wire
+        # bytes depend only on per-image symbol values.
+        n_serve = int(os.environ.get("CRDR_SERVING_DEVICES",
+                                     self.opt.get("serving_devices", 1)))
+        if n_serve > 1:
+            devs = jax.devices()
+            assert len(devs) >= n_serve, \
+                f"serving_devices={n_serve} but only {len(devs)} devices"
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self._serve_mesh = Mesh(np.asarray(devs[:n_serve]), ("serve",))
+            self._dev = NamedSharding(self._serve_mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(self._serve_mesh,
+                                                 PartitionSpec("serve"))
+            # params must live replicated on the SAME device set as the
+            # batch inputs, or jit refuses the mixed commitment
+            self.params = jax.device_put(self.params, self._dev)
+        else:
+            self._serve_mesh = None
+            self._batch_sharding = None
+            self._dev = jax.devices()[0]
+
         # device-resident codec constants: re-uploading them per call costs
         # an RTT each on a remote-attached accelerator
-        self._dev = jax.devices()[0]
         self._table_dev = jax.device_put(
             np.asarray(self.codec_y.scale_table, np.float32), self._dev)
         self._scalar_cache: Dict[Tuple[str, float], Array] = {}
@@ -363,6 +390,17 @@ class BaseModel:
                 cm_opt["hyper_out_ch"] // 2, self.max_support_slices)
             self._charm_packed = {k: jax.device_put(v, self._dev)
                                   for k, v in packed.items()}
+
+    def _place_batch(self, arr) -> Array:
+        """Upload a [N, ...] host array for a batched codec dispatch:
+        sharded over the serving mesh's batch axis when one is configured
+        and N divides it, replicated (single-device when no mesh)
+        otherwise."""
+        arr = np.asarray(arr)
+        if (self._batch_sharding is not None
+                and arr.shape[0] % self._serve_mesh.size == 0):
+            return jax.device_put(arr, self._batch_sharding)
+        return jax.device_put(arr, self._dev)
 
     def _dev_scalar(self, kind: str, value: float) -> Array:
         """Cached device-resident [1]-shaped f32 scalar (rate_ind / beta)."""
@@ -905,11 +943,12 @@ class BaseModel:
                     and self.context_type == "Minnen20CharmContextModel")
         if self.codec_uint8_io and real_images.dtype == np.uint8:
             # ship raw uint8 pixels; the fused encode converts on device
-            x = jnp.asarray(pad_image(real_images, self.stride))
+            x = self._place_batch(pad_image(real_images, self.stride))
         else:
             if real_images.dtype == np.uint8:
                 real_images = uint8_to_tensor(real_images)
-            x = jnp.asarray(self.data_preprocess(real_images, is_train=False))
+            x = self._place_batch(
+                self.data_preprocess(real_images, is_train=False))
 
         if is_charm:
             return self._compress_charm(x, N, H, W, rate_ind)
@@ -1132,9 +1171,9 @@ class BaseModel:
         for i in range(N):
             if self.use_rate:
                 header = self.header_handler.encode(
-                    (H, W), maxabs_np, rate_ind=float(rate_ind))
+                    (H, W), maxabs_np[i:i + 1], rate_ind=float(rate_ind))
             else:
-                header = self.header_handler.encode((H, W), maxabs_np)
+                header = self.header_handler.encode((H, W), maxabs_np[i:i + 1])
             results.append({
                 "string_list": [header, z_str[i], y_str[i]],
                 "z_hat": z_hat[i:i + 1],
@@ -1156,6 +1195,7 @@ class BaseModel:
         assert len(string_list) == 3, \
             f"string list must be [header, z, y], got {len(string_list)}"
         header, z_str, y_str = string_list
+        self._guard_wire_mismatch(y_str)
         hd = self.header_handler.decode(header)
         H, W = hd["img_size"]
         rate_ind = hd.get("rate_ind")
@@ -1218,6 +1258,8 @@ class BaseModel:
 
         Returns (fake [N,H,W,3], z_hat, y_hat).  All streams must share the
         image size and rate index."""
+        for sl in string_lists:
+            self._guard_wire_mismatch(sl[2])
         heads = [self.header_handler.decode(sl[0]) for sl in string_lists]
         H, W = heads[0]["img_size"]
         rate_ind = heads[0].get("rate_ind")
@@ -1276,10 +1318,9 @@ class BaseModel:
         z_sym = self.codec_z.decompress(z_strs, (zH, zW))
         cp = {"net": self.params, "packed": self._charm_packed}
         table = self._table_dev
-        dev = self._dev
         hm, hs, support, mu, _sigma, idx, z_hat = self._codec_fn(
             "decode_begin")(
-            cp, jax.device_put(z_sym.astype(np.int16), dev), table)
+            cp, self._place_batch(z_sym.astype(np.int16)), table)
         timing["decode_begin_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -1313,9 +1354,9 @@ class BaseModel:
                         lambda j: _dec_one(j, idx_np), range(n))))
                 else:
                     dec = np.stack([_dec_one(j, idx_np) for j in range(n)])
-                sym = jax.device_put(
+                sym = self._place_batch(
                     dec.reshape(n, sc, h, w).transpose(0, 2, 3, 1)
-                    .astype(np.int16), dev)
+                    .astype(np.int16))
                 if i < ns - 1:
                     y_prev, support, mu, _sigma, idx = step(
                         self._charm_packed, jnp.int32(i + 1), hm, hs,
@@ -1340,6 +1381,22 @@ class BaseModel:
         timing["decode_final_s"] = _time.perf_counter() - t0
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
+
+    def _guard_wire_mismatch(self, y_str: bytes) -> None:
+        """Fail loudly when the configured wire format and the bitstream's
+        actual format disagree.  Device-wire y strings are self-describing
+        (``LANE_MAGIC``); a compressai-configured decode of one would
+        otherwise desync into silent garbage.  The inverse mismatch is
+        caught by ``unpack_lane_container`` itself."""
+        if self.wire_format == "compressai":
+            from ..runtime.lane_rans import LANE_MAGIC
+
+            if y_str[:len(LANE_MAGIC)] == LANE_MAGIC:
+                raise ValueError(
+                    "this bitstream is in the device wire format (CRDW lane "
+                    "container) but the model is configured wire_format: "
+                    "compressai — set wire_format: device (or "
+                    "CRDR_WIRE=device) to decode it")
 
     def _lane_serialize(self, sym_l: np.ndarray, idx_l: np.ndarray,
                         slice_off: np.ndarray) -> List[bytes]:
@@ -1405,11 +1462,10 @@ class BaseModel:
         t0 = _time.perf_counter()
         z_sym = self.codec_z.decompress(z_strs, (zH, zW))
         words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
-        dev = self._dev
         yH, yW = zH * 4, zW * 4  # y grid = 4x the z grid
         a_ids, na_ids = self._cb_ids(yH, yW)
-        a_ids_d = jax.device_put(a_ids, dev)
-        na_ids_d = jax.device_put(na_ids, dev)
+        a_ids_d = jax.device_put(a_ids, self._dev)
+        na_ids_d = jax.device_put(na_ids, self._dev)
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -1417,7 +1473,7 @@ class BaseModel:
         table = self._table_dev
         ytab = self._ytab()
         hm, hs, support, sym_na_f, y_a, mu_c, z_hat = self._codec_fn(
-            "cb_begin")(cp, jax.device_put(z_sym.astype(np.int16), dev),
+            "cb_begin")(cp, self._place_batch(z_sym.astype(np.int16)),
                         table, na_ids_d)
         ns, sc = self.num_slices, self.slice_ch
         rans = self._codec_fn("rans_round")
@@ -1482,9 +1538,8 @@ class BaseModel:
             fix_pos[i, :f] = fp
             fix_val[i, :f] = fv
             fix_act[i, :f] = True
-        dev = self._dev
-        return (jax.device_put(words, dev), jax.device_put(fix_pos, dev),
-                jax.device_put(fix_val, dev), jax.device_put(fix_act, dev))
+        return (self._place_batch(words), self._place_batch(fix_pos),
+                self._place_batch(fix_val), self._place_batch(fix_act))
 
     def _decompress_generic_device(self, z_strs: List[bytes],
                                    y_strs: List[bytes], zH: int, zW: int,
@@ -1503,10 +1558,9 @@ class BaseModel:
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
-        dev = self._dev
         ytab = self._ytab()
         z_hat, y_mean, _y_scale, idx_u8 = self._codec_fn("generic_params")(
-            self.params, jax.device_put(z_sym.astype(np.int16), dev),
+            self.params, self._place_batch(z_sym.astype(np.int16)),
             self._table_dev)
         sym, _, _ = self._codec_fn("rans_round")(
             None, None, words_d, idx_u8, fp_d, fv_d, fa_d, np.int32(0),
@@ -1548,7 +1602,6 @@ class BaseModel:
         t0 = _time.perf_counter()
         z_sym = self.codec_z.decompress(z_strs, (zH, zW))
         words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
-        dev = self._dev
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -1557,7 +1610,7 @@ class BaseModel:
         ytab = self._ytab()
         hm, hs, support, mu, _sigma, idx, z_hat = self._codec_fn(
             "decode_begin")(
-            cp, jax.device_put(z_sym.astype(np.int16), dev), table)
+            cp, self._place_batch(z_sym.astype(np.int16)), table)
         ns = self.num_slices
         step = self._charm_step_fn()
         rans = self._codec_fn("rans_round")
@@ -1669,7 +1722,6 @@ class BaseModel:
         phase_a, phase_b = self._cb_phase_fns()
         packed = self._charm_packed
         table = self._table_dev
-        dev = self._dev
         decoder = RansStreamDecoder(y_str)
 
         def _decode_grids(grids) -> np.ndarray:
@@ -1698,15 +1750,15 @@ class BaseModel:
                 ia1, ia2, _, _ = split_checkerboard(idx_np)
                 a1, a2 = _decode_grids((ia1, ia2))
                 z2 = np.zeros_like(a1)
-                sym_a = jax.device_put(_merge_np(a1, a2, z2, z2), dev)
+                sym_a = self._place_batch(_merge_np(a1, a2, z2, z2))
                 y_a, mu_c, idx_na = phase_b(packed, jnp.int32(i), sym_a, mu,
                                             sigma, table)
                 idx_na_np = np.asarray(idx_na).astype(np.int32)
                 _, _, in1, in2 = split_checkerboard(idx_na_np)
                 na1, na2 = _decode_grids((in1, in2))
-                sym_na = jax.device_put(
+                sym_na = self._place_batch(
                     _merge_np(np.zeros_like(na1), np.zeros_like(na1), na1,
-                              na2), dev)
+                              na2))
                 y_prev, support, mu, sigma, idx = phase_a(
                     packed, jnp.int32(i + 1), hyper_mean, hyper_scale,
                     support, sym_na, y_a, mu_c, table)

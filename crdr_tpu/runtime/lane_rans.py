@@ -120,17 +120,27 @@ class LaneStreamDecoder:
             pass
 
 
+# Device-wire y strings are self-describing: 4-byte magic + 1-byte version.
+# The CompressAI wire cannot carry a marker (its byte layout is the
+# reference contract), so the marker lives on OUR format and both decode
+# paths check it — a config/bitstream wire mismatch fails loudly instead of
+# desyncing into garbage.  (False-positive odds on a genuine CompressAI
+# stream: 2^-40.)
+LANE_MAGIC = b"CRDW\x01"
+
+
 def pack_lane_container(words: np.ndarray, lens: np.ndarray,
                         fix_pos: np.ndarray, fix_val: np.ndarray) -> bytes:
     """Serialize one image's lane streams + fixups to bytes.
 
-    Layout (little-endian): u16 K, u16 n_fix, per-lane u16 length,
-    per-fixup (u32 pos, i32 value), then each lane's words back to back
-    (no padding on the wire; padding is re-applied at upload time).
+    Layout (little-endian): magic ``CRDW`` + u8 version, u16 K, u16 n_fix,
+    per-lane u16 length, per-fixup (u32 pos, i32 value), then each lane's
+    words back to back (no padding on the wire; padding is re-applied at
+    upload time).
     """
     K = int(words.shape[0])
     f = int(fix_pos.size)
-    head = np.asarray([K, f], dtype=np.uint16).tobytes()
+    head = LANE_MAGIC + np.asarray([K, f], dtype=np.uint16).tobytes()
     lens16 = lens.astype(np.uint16).tobytes()
     fix = b""
     if f:
@@ -144,9 +154,15 @@ def unpack_lane_container(blob: bytes
                           ) -> Tuple[np.ndarray, np.ndarray,
                                      np.ndarray, np.ndarray]:
     """Inverse of :func:`pack_lane_container`; re-pads words to [K, max]."""
-    K, f = np.frombuffer(blob, dtype=np.uint16, count=2)
+    if blob[:len(LANE_MAGIC)] != LANE_MAGIC:
+        raise ValueError(
+            "not a device-wire lane container (missing CRDW magic) — this "
+            "bitstream was written with the compressai wire format; set "
+            "wire_format: compressai (or CRDR_WIRE=compressai) to decode it")
+    o = len(LANE_MAGIC)
+    K, f = np.frombuffer(blob, dtype=np.uint16, count=2, offset=o)
     K, f = int(K), int(f)
-    o = 4
+    o += 4
     lens = np.frombuffer(blob, dtype=np.uint16, count=K, offset=o) \
         .astype(np.int32)
     o += 2 * K

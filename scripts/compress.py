@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="serving batch size: groups same-size images through "
                         "compress_batch/decompress_batch (one device dispatch "
                         "set per batch; streams identical to batch 1)")
+    p.add_argument("--serving_devices", type=int, default=None,
+                   help="shard each serving batch over this many devices "
+                        "(batch-axis GSPMD mesh; streams identical to one "
+                        "device). Pair with --batch >= this value")
     return p.parse_args(argv)
 
 
@@ -84,6 +88,8 @@ def main(argv=None):
     cfg["is_train"] = False
     if args.shape_bucket:
         cfg["shape_bucket"] = args.shape_bucket
+    if args.serving_devices:
+        cfg["serving_devices"] = args.serving_devices
 
     model = build_comp_model(cfg)
     if args.model_path:

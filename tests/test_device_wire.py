@@ -69,6 +69,26 @@ def test_device_wire_matches_compressai_wire():
     np.testing.assert_array_equal(fake_ref, fake_dev)
 
 
+def test_wire_mismatch_raises(device_wire_model):
+    """A device-wire bitstream fed to a compressai-configured decode (and
+    vice versa) must fail loudly, not desync into garbage."""
+    model = device_wire_model
+    x = np.random.default_rng(11).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc = model.compress(x, rate_ind=2.0)
+    try:
+        model.wire_format = "compressai"
+        with pytest.raises(ValueError, match="device wire"):
+            model.decompress(enc["string_list"], beta=0.0)
+        with pytest.raises(ValueError, match="device wire"):
+            model.decompress_batch([enc["string_list"]], beta=0.0)
+        enc_cai = model.compress(x, rate_ind=2.0)
+    finally:
+        model.wire_format = "device"
+    with pytest.raises(ValueError, match="compressai"):
+        model.decompress(enc_cai["string_list"], beta=0.0)
+
+
 def test_device_wire_batch(device_wire_model):
     model = device_wire_model
     x = np.random.default_rng(7).uniform(-1, 1, (3, 64, 64, 3)) \

@@ -155,6 +155,23 @@ def test_lane_container_roundtrip():
         np.testing.assert_array_equal(w2[j, :l2[j]], words[j, :lens[j]])
 
 
+def test_lane_container_magic():
+    """Containers are self-describing: CRDW magic + version; a blob without
+    it (e.g. a compressai-wire rANS stream) is rejected with a pointer to
+    the right wire_format setting."""
+    from crdr_tpu.runtime.lane_rans import LANE_MAGIC
+
+    rng = np.random.default_rng(8)
+    words, lens, fix_pos, fix_val = _encode_decode_case(
+        rng, n_slices=1, m_per_slice=32, K=4, escape_frac=0.0)
+    blob = pack_lane_container(words, lens, fix_pos, fix_val)
+    assert blob[:len(LANE_MAGIC)] == LANE_MAGIC
+    with pytest.raises(ValueError, match="compressai"):
+        unpack_lane_container(blob[len(LANE_MAGIC):])  # stripped magic
+    with pytest.raises(ValueError, match="compressai"):
+        unpack_lane_container(b"\x12\x34" + blob[2:])  # corrupted magic
+
+
 def test_lane_wrong_indexes_raise():
     rng = np.random.default_rng(7)
     cdfs, cdf_len, offsets = _random_tables(rng)
