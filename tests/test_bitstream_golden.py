@@ -56,3 +56,38 @@ def test_bitstream_matches_golden_digest():
     # and the stream must still decode to the encoder-side latents
     fake, z_hat, y_hat = model.decompress(enc["string_list"], beta=1.0)
     np.testing.assert_allclose(y_hat, enc["y_hat"], rtol=1e-4, atol=1e-4)
+
+
+DEVICE_GOLDEN_FILE = os.path.join(os.path.dirname(__file__),
+                                  "golden_bitstream_device.json")
+
+
+def test_device_wire_matches_golden_digest():
+    """Same guard for OUR wire: the lane-container layout (CRDW magic,
+    lane count/length tables, fixup channel, rans32 stream bytes) is a
+    persistence format too — committed .bin files must stay decodable."""
+    opt = tiny_opt()
+    opt["wire_format"] = "device"
+    opt["device_wire_lanes"] = 16
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    model.codec_setup()
+    rng = np.random.default_rng(1234)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    enc = model.compress(x, rate_ind=1.0)
+    digests = {
+        "y": hashlib.sha256(enc["string_list"][2]).hexdigest(),
+        "y_len": len(enc["string_list"][2]),
+    }
+    if not os.path.exists(DEVICE_GOLDEN_FILE):
+        with open(DEVICE_GOLDEN_FILE, "w") as f:
+            json.dump(digests, f, indent=2)
+        pytest.skip("device-wire golden digest created; rerun to verify")
+    with open(DEVICE_GOLDEN_FILE) as f:
+        golden = json.load(f)
+    assert digests == golden, (
+        "device wire format changed! If intentional, delete "
+        "tests/golden_bitstream_device.json, regenerate, and document it.")
+    _, _, y_hat = model.decompress(enc["string_list"], beta=1.0)
+    np.testing.assert_array_equal(np.asarray(y_hat),
+                                  np.asarray(enc["y_hat"]))
