@@ -347,6 +347,14 @@ class BaseModel:
         # bytes depend only on per-image symbol values.
         n_serve = int(os.environ.get("CRDR_SERVING_DEVICES",
                                      self.opt.get("serving_devices", 1)))
+        # "batch": shard dim 0 (throughput for serving batches).  "spatial":
+        # shard dim 1 — the HEIGHT axis of images/latents — so ONE huge
+        # still decodes across all chips (XLA SPMD inserts the conv halo
+        # exchanges; see parallel/spatial.py).  Either way GSPMD only moves
+        # placement, never values, so wire bytes match single-device.
+        self._serve_partition = self.opt.get("serving_partition", "batch")
+        assert self._serve_partition in ("batch", "spatial"), \
+            self._serve_partition
         if n_serve > 1:
             devs = jax.devices()
             assert len(devs) >= n_serve, \
@@ -355,8 +363,9 @@ class BaseModel:
 
             self._serve_mesh = Mesh(np.asarray(devs[:n_serve]), ("serve",))
             self._dev = NamedSharding(self._serve_mesh, PartitionSpec())
-            self._batch_sharding = NamedSharding(self._serve_mesh,
-                                                 PartitionSpec("serve"))
+            spec = (PartitionSpec("serve") if self._serve_partition == "batch"
+                    else PartitionSpec(None, "serve"))
+            self._batch_sharding = NamedSharding(self._serve_mesh, spec)
             # params must live replicated on the SAME device set as the
             # batch inputs, or jit refuses the mixed commitment
             self.params = jax.device_put(self.params, self._dev)
@@ -392,13 +401,17 @@ class BaseModel:
                                   for k, v in packed.items()}
 
     def _place_batch(self, arr) -> Array:
-        """Upload a [N, ...] host array for a batched codec dispatch:
-        sharded over the serving mesh's batch axis when one is configured
-        and N divides it, replicated (single-device when no mesh)
-        otherwise."""
+        """Upload a [N, ...] host array for a batched codec dispatch,
+        sharded over the serving mesh when one is configured: along dim 0
+        (batch) or dim 1 (image/latent height, ``serving_partition:
+        spatial``).  Arrays whose sharded dim doesn't exist or divide fall
+        back to replicated placement — GSPMD keeps any placement
+        value-transparent, so this is a perf choice, never a correctness
+        one."""
         arr = np.asarray(arr)
-        if (self._batch_sharding is not None
-                and arr.shape[0] % self._serve_mesh.size == 0):
+        dim = 0 if self._serve_partition == "batch" else 1
+        if (self._batch_sharding is not None and arr.ndim > dim
+                and arr.shape[dim] % self._serve_mesh.size == 0):
             return jax.device_put(arr, self._batch_sharding)
         return jax.device_put(arr, self._dev)
 

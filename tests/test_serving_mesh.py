@@ -88,6 +88,34 @@ def test_mesh_serving_device_wire(pair):
                                rtol=0, atol=1e-6)
 
 
+def test_spatial_serving_single_image(pair):
+    """serving_partition: spatial — ONE image sharded along H across the
+    mesh (the huge-still latency axis; conv halos inserted by GSPMD).
+    Bitstream bytes must match single-device serving."""
+    single, _ = pair
+    opt = tiny_opt()
+    opt["serving_devices"] = 4
+    opt["serving_partition"] = "spatial"
+    sp = build_comp_model(opt)
+    sp.init_params(input_size=64)
+    sp.codec_setup()
+    # sanity: H axis (dim 1) is what shards now
+    arr = sp._place_batch(np.zeros((1, 8, 6), np.float32))
+    assert all(s.data.shape == (1, 2, 6) for s in arr.addressable_shards)
+
+    x = np.random.default_rng(12).uniform(-1, 1, (1, 256, 256, 3)) \
+        .astype(np.float32)
+    enc_s = single.compress(x, rate_ind=1.0)
+    enc_p = sp.compress(x, rate_ind=1.0)
+    assert enc_s["string_list"] == enc_p["string_list"]
+    fake_s, _, yh_s = single.decompress(enc_s["string_list"], beta=0.64)
+    fake_p, _, yh_p = sp.decompress(enc_p["string_list"], beta=0.64)
+    np.testing.assert_allclose(np.asarray(yh_s), np.asarray(yh_p),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fake_s), np.asarray(fake_p),
+                               rtol=0, atol=1e-6)
+
+
 def test_mesh_serving_odd_batch(pair):
     """Batch not divisible by the mesh: replicated fallback, same bytes."""
     single, meshed = pair
