@@ -423,6 +423,20 @@ class BaseModel:
                 np.asarray([float(value)], np.float32), self._dev)
         return self._scalar_cache[key]
 
+    def _cond_arg(self, kind: str, value, n: int) -> Array:
+        """Conditioning argument (rate_ind / beta) for a batched dispatch:
+        the cached [1] scalar when uniform, a [n] device vector when
+        per-image (InterpCA and the Fourier-beta MLP broadcast [N]-shaped
+        conditioners per sample — mixed-rate/mixed-realism batches ride one
+        dispatch).  Replicated placement: conditioners are tiny and feed
+        every shard."""
+        arr = np.asarray(value, np.float32).reshape(-1)
+        if arr.size == 1:
+            return self._dev_scalar(kind, float(arr[0]))
+        assert arr.size == n, \
+            f"{kind}: got {arr.size} values for a batch of {n}"
+        return jax.device_put(arr, self._dev)
+
     def _ytab(self) -> Dict[str, Array]:
         """Device-resident y CDF tables for the on-device entropy decoder
         (int32; uploaded once per codec_setup)."""
@@ -974,7 +988,7 @@ class BaseModel:
 
         timing = {}
         t0 = _time.perf_counter()
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        ri = self._cond_arg("q", rate_ind, N) if self.use_rate else None
         if self._is_checkerboard:
             # params from the SAME packed phase kernels the decoder runs —
             # the flax compress_params path is not bit-identical to them
@@ -1053,11 +1067,14 @@ class BaseModel:
         timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
+        rate_arr = (np.broadcast_to(
+            np.asarray(rate_ind, np.float32).reshape(-1), (N,))
+            if self.use_rate else None)
         results = []
         for i in range(N):
             if self.use_rate:
                 header = self.header_handler.encode(
-                    (H, W), maxabs[i:i + 1], rate_ind=float(rate_ind))
+                    (H, W), maxabs[i:i + 1], rate_ind=float(rate_arr[i]))
             else:
                 header = self.header_handler.encode((H, W), maxabs[i:i + 1])
             results.append({
@@ -1112,7 +1129,7 @@ class BaseModel:
 
         timing = {}
         t0 = _time.perf_counter()
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
+        ri = self._cond_arg("q", rate_ind, N) if self.use_rate else None
         table = self._table_dev
         cp_params = {"net": self.params, "packed": self._charm_packed}
         y, z_sym16, pred_z_dev = self._codec_fn("encode_head")(
@@ -1180,11 +1197,14 @@ class BaseModel:
         timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
+        rate_arr = (np.broadcast_to(
+            np.asarray(rate_ind, np.float32).reshape(-1), (N,))
+            if self.use_rate else None)
         results = []
         for i in range(N):
             if self.use_rate:
                 header = self.header_handler.encode(
-                    (H, W), maxabs_np[i:i + 1], rate_ind=float(rate_ind))
+                    (H, W), maxabs_np[i:i + 1], rate_ind=float(rate_arr[i]))
             else:
                 header = self.header_handler.encode((H, W), maxabs_np[i:i + 1])
             results.append({
@@ -1270,7 +1290,9 @@ class BaseModel:
         still runs one independent stream per image between dispatches.
 
         Returns (fake [N,H,W,3], z_hat, y_hat).  All streams must share the
-        image size and rate index."""
+        image size; rate indexes ride each header (mixed-rate batches run
+        as one dispatch set — InterpCA broadcasts a per-image [N] rate
+        vector), and ``beta`` may be a scalar or one value per image."""
         for sl in string_lists:
             self._guard_wire_mismatch(sl[2])
         heads = [self.header_handler.decode(sl[0]) for sl in string_lists]
@@ -1279,8 +1301,14 @@ class BaseModel:
         for hd in heads[1:]:
             assert tuple(hd["img_size"]) == (H, W), \
                 "decompress_batch requires equal image sizes"
-            assert hd.get("rate_ind") == rate_ind, \
-                "decompress_batch requires one rate index per batch"
+        if rate_ind is not None:
+            rates = np.asarray([hd["rate_ind"] for hd in heads], np.float32)
+            rate_ind = (float(rates[0]) if np.all(rates == rates[0])
+                        else rates)
+        beta_arr = np.asarray(beta, np.float32).reshape(-1)
+        assert beta_arr.size in (1, len(string_lists)), \
+            f"beta: {beta_arr.size} values for {len(string_lists)} streams"
+        beta = float(beta_arr[0]) if beta_arr.size == 1 else beta_arr
         padH = math.ceil(H / self.stride) * self.stride
         padW = math.ceil(W / self.stride) * self.stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
@@ -1297,7 +1325,8 @@ class BaseModel:
             return fn(
                 [sl[1] for sl in string_lists], [sl[2] for sl in string_lists],
                 zH, zW, rate_ind, beta, H, W)
-        outs = [self.decompress(sl, beta=beta) for sl in string_lists]
+        outs = [self.decompress(sl, beta=float(beta_arr[i % beta_arr.size]))
+                for i, sl in enumerate(string_lists)]
         return (np.concatenate([o[0] for o in outs]),
                 np.concatenate([np.asarray(o[1]) for o in outs]),
                 np.concatenate([np.asarray(o[2]) for o in outs]))
@@ -1340,8 +1369,8 @@ class BaseModel:
         n, h, w, sc = mu.shape
         ns = self.num_slices
         step = self._charm_step_fn()
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
-        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        ri = self._cond_arg("q", rate_ind, n) if self.use_rate else None
+        bt = self._cond_arg("b", beta, n) if self.use_beta else None
         decoders = [RansStreamDecoder(ys) for ys in y_strs]
 
         def _dec_one(j, idx_np):
@@ -1492,8 +1521,10 @@ class BaseModel:
         rans = self._codec_fn("rans_round")
         fa = self._codec_fn("cb_a_dev")
         fb = self._codec_fn("cb_b_dev")
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
-        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        ri = self._cond_arg("q", rate_ind, len(z_strs)) \
+            if self.use_rate else None
+        bt = self._cond_arg("b", beta, len(z_strs)) \
+            if self.use_beta else None
 
         states = ptrs = None
         off = 0
@@ -1578,8 +1609,10 @@ class BaseModel:
         sym, _, _ = self._codec_fn("rans_round")(
             None, None, words_d, idx_u8, fp_d, fv_d, fa_d, np.int32(0),
             ytab["cdf"], ytab["len"], ytab["off"])
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
-        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        ri = self._cond_arg("q", rate_ind, len(z_strs)) \
+            if self.use_rate else None
+        bt = self._cond_arg("b", beta, len(z_strs)) \
+            if self.use_beta else None
         fake, y_hat = self._codec_fn("generic_final")(
             self.params, sym, y_mean, ri, bt)
         fake = np.asarray(fake)  # the ONLY blocking sync of the decode
@@ -1627,8 +1660,10 @@ class BaseModel:
         ns = self.num_slices
         step = self._charm_step_fn()
         rans = self._codec_fn("rans_round")
-        ri = self._dev_scalar("q", rate_ind) if self.use_rate else None
-        bt = self._dev_scalar("b", beta) if self.use_beta else None
+        ri = self._cond_arg("q", rate_ind, len(z_strs)) \
+            if self.use_rate else None
+        bt = self._cond_arg("b", beta, len(z_strs)) \
+            if self.use_beta else None
         m = zH * 4 * zW * 4 * self.slice_ch  # y grid = 4x the z grid
 
         states = ptrs = None

@@ -236,3 +236,44 @@ def test_transform_dtype_bf16_roundtrip():
     enc32 = ref.compress(x, rate_ind=1.0)
     fake32, _, _ = ref.decompress(enc32["string_list"], beta=0.0)
     assert np.mean(np.abs(fake - fake32)) < 0.05
+
+
+def test_mixed_rate_batch(flagship):
+    """Per-image rate indexes in ONE serving batch: InterpCA broadcasts an
+    [N] rate vector, each header carries its own index, and the batched
+    decode reproduces the encoder latents bit-exactly (extension — the
+    reference conditions a whole batch on one q)."""
+    model = flagship
+    x = np.random.default_rng(21).uniform(-1, 1, (4, 64, 64, 3)) \
+        .astype(np.float32)
+    rates = np.asarray([0.0, 0.5, 1.5, 2.0], np.float32)  # 1/16 multiples
+    encs = model.compress_batch(x, rate_ind=rates)
+    for e, q in zip(encs, rates):
+        hd = model.header_handler.decode(e["string_list"][0])
+        assert hd["rate_ind"] == float(q)
+    fake, _, y_hat = model.decompress_batch(
+        [e["string_list"] for e in encs], beta=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(y_hat),
+        np.concatenate([np.asarray(e["y_hat"]) for e in encs]))
+    assert fake.shape == x.shape
+
+    # and the batch must equal per-image encodes at the same rates
+    for e, q, xi in zip(encs, rates, x):
+        single = model.compress(xi[None], rate_ind=float(q))
+        assert single["string_list"][0] == e["string_list"][0]
+
+
+def test_mixed_beta_batch(flagship):
+    """Per-image realism weights in one batched decode: each image's
+    reconstruction matches its own single-image decode at that beta."""
+    model = flagship
+    x = np.random.default_rng(22).uniform(-1, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    encs = model.compress_batch(x, rate_ind=1.0)
+    betas = np.asarray([0.0, 5.12], np.float32)
+    fake, _, _ = model.decompress_batch(
+        [e["string_list"] for e in encs], beta=betas)
+    for i, b in enumerate(betas):
+        ref, _, _ = model.decompress(encs[i]["string_list"], beta=float(b))
+        np.testing.assert_allclose(fake[i:i + 1], ref, rtol=0, atol=1e-5)
