@@ -35,6 +35,9 @@ def main(argv=None):
                    default=[q * 0.25 for q in range(17)])
     p.add_argument("--betas", type=float, nargs="+", default=[0.0, 3.84])
     p.add_argument("--max_images", type=int, default=0)
+    p.add_argument("--no_rate_batch", action="store_true",
+                   help="disable the mixed-rate batched sweep (one "
+                        "(image, quality) pair per dispatch set instead)")
     args = p.parse_args(argv)
     logger = get_root_logger()
     from crdr_tpu.runtime.cache import enable_compilation_cache
@@ -57,30 +60,55 @@ def main(argv=None):
     assert img_paths
 
     os.makedirs(args.save_dir, exist_ok=True)
-    rows = []
-    for q in args.qualities:
-        # encode once per quality (bpp independent of beta)
-        encs = []
-        for path in img_paths:
-            img = imread(path)[None]
-            enc = model.compress(img, rate_ind=q)
-            bin_path = os.path.join(args.save_dir, "tmp.bin")
+    # Mixed-rate batching (default): ONE compress_batch per image covers
+    # every quality (a per-image [Q] rate vector conditions InterpCA), and
+    # one decompress_batch per (image, beta) covers every quality's stream
+    # — the Charm decode's serial round trips amortize across the whole
+    # sweep axis instead of repeating 17x.  --no_rate_batch restores the
+    # one-(image,quality)-at-a-time protocol (identical math, [1]-shaped
+    # programs).
+    qs = [float(q) for q in args.qualities]
+    acc = {(q, float(b)): {"psnr": [], "ms_ssim": [], "bpp": []}
+           for q in qs for b in args.betas}
+    bin_path = os.path.join(args.save_dir, "tmp.bin")
+    for path in img_paths:
+        real = imread(path)[None]
+        if args.no_rate_batch:
+            encs = [model.compress(real, rate_ind=q) for q in qs]
+        else:
+            encs = model.compress_batch(
+                np.repeat(real, len(qs), axis=0),
+                rate_ind=np.asarray(qs, np.float32))
+        bpps = []
+        for enc in encs:
             save_byte_strings(bin_path, enc["string_list"])
             bits = os.path.getsize(bin_path) * 8
-            encs.append((path, enc, bits / (img.shape[1] * img.shape[2])))
+            bpps.append(bits / (real.shape[1] * real.shape[2]))
         for beta in args.betas:
-            psnrs, msssims, bpps = [], [], []
-            for path, enc, bpp in encs:
-                fake, _, _ = model.decompress(enc["string_list"], beta=beta)
-                real = imread(path)[None]
-                psnrs.append(calc_psnr(real, fake))
-                msssims.append(calc_ms_ssim(real, fake))
-                bpps.append(bpp)
+            if args.no_rate_batch:
+                fakes = np.concatenate([
+                    model.decompress(e["string_list"], beta=beta)[0]
+                    for e in encs])
+            else:
+                fakes, _, _ = model.decompress_batch(
+                    [e["string_list"] for e in encs], beta=beta)
+            for qi, q in enumerate(qs):
+                a = acc[(q, float(beta))]
+                a["psnr"].append(calc_psnr(real, fakes[qi:qi + 1]))
+                a["ms_ssim"].append(calc_ms_ssim(real, fakes[qi:qi + 1]))
+                a["bpp"].append(bpps[qi])
+        logger.info(f"{os.path.basename(path)}: swept {len(qs)} qualities "
+                    f"x {len(args.betas)} betas")
+
+    rows = []
+    for q in qs:
+        for beta in args.betas:
+            a = acc[(q, float(beta))]
             rows.append({
                 "quality": q, "beta": beta,
-                "bpp": float(np.mean(bpps)),
-                "psnr": float(np.mean(psnrs)),
-                "ms_ssim": float(np.mean(msssims)),
+                "bpp": float(np.mean(a["bpp"])),
+                "psnr": float(np.mean(a["psnr"])),
+                "ms_ssim": float(np.mean(a["ms_ssim"])),
             })
             logger.info(f"q={q} beta={beta}: bpp={rows[-1]['bpp']:.4f} "
                         f"psnr={rows[-1]['psnr']:.3f}")

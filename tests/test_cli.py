@@ -83,3 +83,27 @@ def test_compress_cli_batched(tiny_config_and_images):
         a = np.fromfile(os.path.join(out1, f"{name}.png"), np.uint8)
         b = np.fromfile(os.path.join(out2, f"{name}.png"), np.uint8)
         assert np.array_equal(a, b)
+
+
+def test_rd_sweep_cli(tiny_config_and_images):
+    """Mini sweep; the mixed-rate batched protocol must agree with the
+    one-pair-at-a-time protocol (same math, [Q]- vs [1]-shaped programs)."""
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    import pandas as pd
+
+    from scripts.rd_sweep import main
+
+    out_b = os.path.join(tmp, "sweep_batched")
+    out_s = os.path.join(tmp, "sweep_serial")
+    main([cfg_path, "--img_dir", img_dir, "--save_dir", out_b,
+          "--qualities", "0.5", "2.0", "--betas", "1.28",
+          "--max_images", "1"])
+    main([cfg_path, "--img_dir", img_dir, "--save_dir", out_s,
+          "--qualities", "0.5", "2.0", "--betas", "1.28",
+          "--max_images", "1", "--no_rate_batch"])
+    b = pd.read_csv(os.path.join(out_b, "rd_curve.csv"))
+    s = pd.read_csv(os.path.join(out_s, "rd_curve.csv"))
+    assert list(b["quality"]) == [0.5, 2.0]
+    assert np.allclose(b["bpp"], s["bpp"], rtol=1e-3)
+    assert np.allclose(b["psnr"], s["psnr"], atol=0.05)
+    assert np.allclose(b["ms_ssim"], s["ms_ssim"], atol=1e-3)
