@@ -51,6 +51,11 @@ def parse_args(argv=None):
                    help="serving batch size: groups same-size images through "
                         "compress_batch/decompress_batch (one device dispatch "
                         "set per batch; streams identical to batch 1)")
+    p.add_argument("--wire", type=str, default=None,
+                   choices=["compressai", "device"],
+                   help="bitstream wire format: compressai (reference-"
+                        "compatible, default) or device (lane-interleaved, "
+                        "entropy-decoded on device — 1 round trip/decode)")
     p.add_argument("--serving_devices", type=int, default=None,
                    help="shard each serving batch over this many devices "
                         "(batch-axis GSPMD mesh; streams identical to one "
@@ -90,6 +95,8 @@ def main(argv=None):
         cfg["shape_bucket"] = args.shape_bucket
     if args.serving_devices:
         cfg["serving_devices"] = args.serving_devices
+    if args.wire:
+        cfg["wire_format"] = args.wire
 
     model = build_comp_model(cfg)
     if args.model_path:

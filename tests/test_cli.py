@@ -107,3 +107,20 @@ def test_rd_sweep_cli(tiny_config_and_images):
     assert np.allclose(b["bpp"], s["bpp"], rtol=1e-3)
     assert np.allclose(b["psnr"], s["psnr"], atol=0.05)
     assert np.allclose(b["ms_ssim"], s["ms_ssim"], atol=1e-3)
+
+
+def test_compress_cli_device_wire(tiny_config_and_images):
+    """--wire device: CLI roundtrip through the lane-container bitstream."""
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    from scripts.compress import main
+
+    out = os.path.join(tmp, "out_devwire")
+    avg = main([cfg_path, "--img_dir", img_dir, "--save_dir", out,
+                "-q", "1.0", "-b", "2.56", "--decompress", "--seed", "0",
+                "--wire", "device", "--batch", "2"])
+    assert avg > 0
+    for name in ("img0", "img1"):
+        assert os.path.exists(os.path.join(out, f"{name}.png"))
+        with open(os.path.join(out, f"{name}.bin"), "rb") as f:
+            blob = f.read()
+        assert b"CRDW" in blob  # lane-container magic rode to disk
