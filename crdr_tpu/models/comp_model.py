@@ -336,6 +336,8 @@ class BaseModel:
         self.device_wire_fixup_cap = int(
             self.opt.get("device_wire_fixup_cap", 256))
         self._ytab_cache = None
+        self._ztab_cache = None
+        self._zidx_cache: Dict[Tuple[int, int, int], Array] = {}
 
         # Multi-device serving (capability extension — the reference serves
         # one image on one GPU): `serving_devices: N` shards every batched
@@ -451,6 +453,53 @@ class BaseModel:
                     np.asarray(self.codec_y.offset, np.int32), self._dev),
             }
         return self._ytab_cache
+
+    def _ztab(self) -> Dict[str, Array]:
+        """Device-resident z (factorized bottleneck) CDF tables for the
+        on-device entropy decoder."""
+        if self._ztab_cache is None:
+            self._ztab_cache = {
+                "cdf": jax.device_put(
+                    np.asarray(self.codec_z.quantized_cdf, np.int32),
+                    self._dev),
+                "len": jax.device_put(
+                    np.asarray(self.codec_z.cdf_length, np.int32), self._dev),
+                "off": jax.device_put(
+                    np.asarray(self.codec_z.offset, np.int32), self._dev),
+            }
+        return self._ztab_cache
+
+    def _zidx(self, n: int, zH: int, zW: int) -> Array:
+        """Static z CDF-row indexes [n, zH, zW, C] (the factorized
+        bottleneck's row IS the channel id), cached per shape."""
+        key = (n, zH, zW)
+        if key not in self._zidx_cache:
+            c = self.codec_z.channels
+            assert c <= 255, "z channel count exceeds the uint8 index wire"
+            idx = np.broadcast_to(np.arange(c, dtype=np.uint8),
+                                  (n, zH, zW, c))
+            self._zidx_cache[key] = self._place_batch(idx)
+        return self._zidx_cache[key]
+
+    def _z_device(self, z_strs: List[bytes], zH: int, zW: int) -> Array:
+        """Device-resident z symbols [N, zH, zW, C] int16 for the decode
+        chain.  Lane containers (the device wire encodes z that way, flat
+        [h, w, C] C-order — static per-channel CDF rows) entropy-decode ON
+        DEVICE, chaining asynchronously into decode_begin; CompressAI z
+        streams (the compressai wire, and device-wire .bins written before
+        z rode the lane format) decode on host and upload."""
+        from ..runtime.lane_rans import LANE_MAGIC
+
+        if z_strs[0][:len(LANE_MAGIC)] == LANE_MAGIC:
+            words, fp, fv, fa = self._upload_lane_streams(z_strs)
+            ztab = self._ztab()
+            sym, _, _ = self._codec_fn("rans_round")(
+                None, None, words, self._zidx(len(z_strs), zH, zW),
+                fp, fv, fa, np.int32(0),
+                ztab["cdf"], ztab["len"], ztab["off"])
+            return sym
+        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        return self._place_batch(z_sym.astype(np.int16))
 
     def _codec_fn(self, name: str):
         """Jitted codec-path programs, created lazily.  All traced under the
@@ -1021,7 +1070,7 @@ class BaseModel:
         meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
         pred_y_bits, pred_z_bits, maxabs = meta[:, 0], meta[:, 1], meta[:, 2]
         z_sym_np = z_f.reshape(N, zH, zW, self.zC).astype(np.int32)
-        z_str = self.codec_z.compress_symbols(z_sym_np)
+        z_str = self._z_serialize(z_sym_np)
         sym = sym_f.reshape(N, yH, yW, self.yC).astype(np.int32)
         idx = idx_f.reshape(N, yH, yW, self.yC).astype(np.int32)
         if self._is_checkerboard and self.wire_format == "device":
@@ -1171,7 +1220,7 @@ class BaseModel:
         pred_y_bits, pred_z_bits = meta[:, 0], meta[:, 1]
         maxabs_np = meta[:, 2]
         z_sym_np = z_f.reshape(N, zH, zW, self.zC)
-        z_str = self.codec_z.compress_symbols(z_sym_np.astype(np.int32))
+        z_str = self._z_serialize(z_sym_np)
         if self.wire_format == "device":
             # slice-major flat (the decoder's consumption order: for each
             # slice, [h, w, sc] C-order)
@@ -1424,6 +1473,22 @@ class BaseModel:
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
 
+    def _z_serialize(self, z_sym_np: np.ndarray) -> List[bytes]:
+        """z strings for the current wire.  Device wire: one lane round in
+        flat [h, w, C] C-order (exactly `_zidx`'s row-major flattening, so
+        the device consumer reshapes directly); CDF rows are the channel
+        ids.  CompressAI wire: the reference's channel-major rANS stream."""
+        z_sym_np = z_sym_np.astype(np.int32)
+        if self.wire_format == "device":
+            n, zh, zw, c = z_sym_np.shape
+            idx = np.broadcast_to(np.arange(c, dtype=np.int32),
+                                  (zh * zw, c)).reshape(-1)
+            return self._lane_serialize(
+                z_sym_np.reshape(n, -1),
+                np.broadcast_to(idx, (n, idx.size)),
+                np.asarray([0, idx.size], np.int64), codec=self.codec_z)
+        return self.codec_z.compress_symbols(z_sym_np)
+
     def _guard_wire_mismatch(self, y_str: bytes) -> None:
         """Fail loudly when the configured wire format and the bitstream's
         actual format disagree.  Device-wire y strings are self-describing
@@ -1441,14 +1506,16 @@ class BaseModel:
                     "CRDR_WIRE=device) to decode it")
 
     def _lane_serialize(self, sym_l: np.ndarray, idx_l: np.ndarray,
-                        slice_off: np.ndarray) -> List[bytes]:
-        """Device-wire y serialization: lane-encode pre-flattened
+                        slice_off: np.ndarray, codec=None) -> List[bytes]:
+        """Device-wire serialization: lane-encode pre-flattened
         (decode-consumption-order) symbols/indexes [N, M] into K rans32
         streams + escape fixups, one container per image.  ``slice_off``:
         the autoregressive round boundaries (where lane assignment
-        restarts — one round per Charm slice; a single round generically)."""
+        restarts — one round per Charm slice; a single round generically).
+        ``codec``: the table provider — y (default) or the z bottleneck."""
         from ..runtime.lane_rans import lane_encode, pack_lane_container
 
+        codec = codec or self.codec_y
         m = int(slice_off[1] - slice_off[0])  # symbols per round
         # lane count: the config value, auto-reduced for small latents so the
         # fixed per-lane cost (2 state words + a u16 length) stays a few
@@ -1464,8 +1531,8 @@ class BaseModel:
                 try:
                     enc = lane_encode(
                         sym_l[i], idx_l[i], slice_off, k,
-                        self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                        self.codec_y.offset, fix_cap=cap)
+                        codec.quantized_cdf, codec.cdf_length,
+                        codec.offset, fix_cap=cap)
                     break
                 except RuntimeError:  # fixup overflow: host side, just grow
                     cap *= 4
@@ -1502,7 +1569,7 @@ class BaseModel:
         assert self._charm_packed is not None, "codec_setup() builds weights"
         timing = {}
         t0 = _time.perf_counter()
-        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        z_dev = self._z_device(z_strs, zH, zW)
         words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
         yH, yW = zH * 4, zW * 4  # y grid = 4x the z grid
         a_ids, na_ids = self._cb_ids(yH, yW)
@@ -1515,8 +1582,7 @@ class BaseModel:
         table = self._table_dev
         ytab = self._ytab()
         hm, hs, support, sym_na_f, y_a, mu_c, z_hat = self._codec_fn(
-            "cb_begin")(cp, self._place_batch(z_sym.astype(np.int16)),
-                        table, na_ids_d)
+            "cb_begin")(cp, z_dev, table, na_ids_d)
         ns, sc = self.num_slices, self.slice_ch
         rans = self._codec_fn("rans_round")
         fa = self._codec_fn("cb_a_dev")
@@ -1597,15 +1663,14 @@ class BaseModel:
 
         timing = {}
         t0 = _time.perf_counter()
-        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        z_dev = self._z_device(z_strs, zH, zW)
         words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
         ytab = self._ytab()
         z_hat, y_mean, _y_scale, idx_u8 = self._codec_fn("generic_params")(
-            self.params, self._place_batch(z_sym.astype(np.int16)),
-            self._table_dev)
+            self.params, z_dev, self._table_dev)
         sym, _, _ = self._codec_fn("rans_round")(
             None, None, words_d, idx_u8, fp_d, fv_d, fa_d, np.int32(0),
             ytab["cdf"], ytab["len"], ytab["off"])
@@ -1646,7 +1711,7 @@ class BaseModel:
         assert self._charm_packed is not None, "codec_setup() builds weights"
         timing = {}
         t0 = _time.perf_counter()
-        z_sym = self.codec_z.decompress(z_strs, (zH, zW))
+        z_dev = self._z_device(z_strs, zH, zW)
         words_d, fp_d, fv_d, fa_d = self._upload_lane_streams(y_strs)
         timing["host_unpack_s"] = _time.perf_counter() - t0
 
@@ -1655,8 +1720,7 @@ class BaseModel:
         table = self._table_dev
         ytab = self._ytab()
         hm, hs, support, mu, _sigma, idx, z_hat = self._codec_fn(
-            "decode_begin")(
-            cp, self._place_batch(z_sym.astype(np.int16)), table)
+            "decode_begin")(cp, z_dev, table)
         ns = self.num_slices
         step = self._charm_step_fn()
         rans = self._codec_fn("rans_round")

@@ -76,6 +76,8 @@ def test_device_wire_matches_golden_digest():
     x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
     enc = model.compress(x, rate_ind=1.0)
     digests = {
+        "z": hashlib.sha256(enc["string_list"][1]).hexdigest(),
+        "z_len": len(enc["string_list"][1]),
         "y": hashlib.sha256(enc["string_list"][2]).hexdigest(),
         "y_len": len(enc["string_list"][2]),
     }

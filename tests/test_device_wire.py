@@ -69,6 +69,27 @@ def test_device_wire_matches_compressai_wire():
     np.testing.assert_array_equal(fake_ref, fake_dev)
 
 
+def test_device_wire_legacy_compressai_z(device_wire_model):
+    """Device-wire .bins written before z rode the lane format carry a
+    CompressAI z stream; `_z_device` auto-detects (no CRDW magic) and falls
+    back to host z decode.  Reconstruction must be bit-identical."""
+    model = device_wire_model
+    x = np.random.default_rng(15).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc = model.compress(x, rate_ind=1.0)
+    header, z_lane, y_str = enc["string_list"]
+    z_sym = np.round(np.asarray(enc["z_hat"])
+                     - model.codec_z.medians()[None, None, None, :]) \
+        .astype(np.int32)
+    legacy_z = model.codec_z.compress_symbols(z_sym)[0]
+    assert legacy_z != z_lane
+    fake_new, _, yh_new = model.decompress([header, z_lane, y_str], beta=0.5)
+    fake_old, _, yh_old = model.decompress([header, legacy_z, y_str],
+                                           beta=0.5)
+    np.testing.assert_array_equal(np.asarray(yh_new), np.asarray(yh_old))
+    np.testing.assert_array_equal(fake_new, fake_old)
+
+
 def test_wire_mismatch_raises(device_wire_model):
     """A device-wire bitstream fed to a compressai-configured decode (and
     vice versa) must fail loudly, not desync into garbage."""
