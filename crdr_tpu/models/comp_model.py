@@ -1094,11 +1094,11 @@ class BaseModel:
                 np.asarray(off, np.int64))
         elif self._is_checkerboard:
             # decode-order serialization: per slice anchors, non-anchors
-            y_str = [rans_encode_with_indexes(
+            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
                 _checkerboard_serialize(sym[i:i + 1], self.num_slices),
                 _checkerboard_serialize(idx[i:i + 1], self.num_slices),
                 self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                self.codec_y.offset) for i in range(N)]
+                self.codec_y.offset), N)
         elif self.wire_format == "device":
             # one lane round covering the whole latent, [h, w, C] C-order
             # (the decoder's generic_params index order)
@@ -1109,10 +1109,9 @@ class BaseModel:
             # channel-major rANS serialization (stream-layout parity)
             sym_flat = sym.transpose(0, 3, 1, 2).reshape(N, -1)
             idx_flat = idx.transpose(0, 3, 1, 2).reshape(N, -1)
-            y_str = [rans_encode_with_indexes(
+            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
                 sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset)
-                for i in range(N)]
+                self.codec_y.cdf_length, self.codec_y.offset), N)
         timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
@@ -1239,10 +1238,9 @@ class BaseModel:
                 .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
             idx_flat = idx_f.reshape(N, yH, yW, self.yC) \
                 .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
-            y_str = [rans_encode_with_indexes(
+            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
                 sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset)
-                for i in range(N)]
+                self.codec_y.cdf_length, self.codec_y.offset), N)
         timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
@@ -1473,6 +1471,18 @@ class BaseModel:
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
 
+    def _host_pmap(self, fn, n: int) -> List:
+        """Map ``fn`` over ``range(n)`` with a thread pool when it helps —
+        the C++ entropy coders release the GIL, so per-image host coding
+        parallelizes across a serving batch on multi-core hosts (1-core
+        hosts and single images run the plain loop)."""
+        if n > 1 and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(n, os.cpu_count() or 1)) as ex:
+                return list(ex.map(fn, range(n)))
+        return [fn(i) for i in range(n)]
+
     def _z_serialize(self, z_sym_np: np.ndarray) -> List[bytes]:
         """z strings for the current wire.  Device wire: one lane round in
         flat [h, w, C] C-order (exactly `_zidx`'s row-major flattening, so
@@ -1524,8 +1534,8 @@ class BaseModel:
                 max(8, 1 << max(0, (m // 64).bit_length() - 1)))
         sym_l = sym_l.astype(np.int32)
         idx_l = idx_l.astype(np.int32)
-        out = []
-        for i in range(sym_l.shape[0]):
+
+        def _one(i):
             cap = self.device_wire_fixup_cap
             while True:
                 try:
@@ -1538,8 +1548,9 @@ class BaseModel:
                     cap *= 4
                     if cap > 1 << 20:
                         raise
-            out.append(pack_lane_container(*enc))
-        return out
+            return pack_lane_container(*enc)
+
+        return self._host_pmap(_one, sym_l.shape[0])
 
     def _cb_ids(self, h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
         """Row-major spatial cell indexes of the checkerboard anchors
