@@ -321,17 +321,6 @@ class BaseModel:
         self.wire_format = os.environ.get(
             "CRDR_WIRE", self.opt.get("wire_format", "compressai"))
         assert self.wire_format in ("compressai", "device"), self.wire_format
-        if self._is_checkerboard and self.codec_precision != "highest":
-            # Charm/generic encode REPLAYS the decoder's executables, so any
-            # chain precision is self-consistent by construction; the
-            # checkerboard encode is still a separately fused program whose
-            # agreement with the decode phases is numerical, which only
-            # `highest` keeps safe (observed desync otherwise — see the
-            # encode_full_cb comment)
-            raise ValueError(
-                "codec_precision must stay 'highest' for the checkerboard "
-                "context; only the Charm/generic families run a fully "
-                "executable-shared codec chain")
         self.device_wire_lanes = int(self.opt.get("device_wire_lanes", 128))
         self.device_wire_fixup_cap = int(
             self.opt.get("device_wire_fixup_cap", 256))
@@ -594,15 +583,13 @@ class BaseModel:
                 lik = gaussian_likelihood(symbols.astype(sigma.dtype), sigma,
                                           bound)
                 pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
-                maxabs = jnp.max(jnp.abs(y_hat))
+                maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
                 # EVERYTHING the host entropy coder needs rides home in ONE
                 # int16 array: y symbols + cdf indexes (small ints), the
                 # pass-through z symbols, and the f32 scalars (bitcast to
                 # int16 pairs) are flattened into a single wire vector
                 nb = symbols.shape[0]
-                meta = jnp.stack(
-                    [pred_y_bits, pred_z_bits,
-                     jnp.broadcast_to(maxabs, pred_y_bits.shape)], axis=1)
+                meta = jnp.stack([pred_y_bits, pred_z_bits, maxabs], axis=1)
                 meta16 = jax.lax.bitcast_convert_type(
                     meta, jnp.int16).reshape(nb, -1)
                 wire = jnp.concatenate(
@@ -749,11 +736,13 @@ class BaseModel:
                     :, a_ids, :].set(
                         sym_a_flat.astype(mu.dtype).reshape(
                             n_, a_ids.shape[0], sc)).reshape(n_, h_, w_, sc)
-                y_a, mu_c, _sigma_c, idx = cb_phase_b(
+                y_a, mu_c, sigma_c, idx = cb_phase_b(
                     packed, i, sym_a, mu, sigma, table, bound)
                 idx_na = idx.reshape(n_, h_ * w_, sc)[:, na_ids, :] \
                     .reshape(n_, -1)
-                return y_a, mu_c, idx_na.astype(jnp.uint8)
+                # sigma_c rides along for the replay ENCODER's predicted-bit
+                # accounting; the decoder ignores it (same executable)
+                return y_a, mu_c, sigma_c, idx_na.astype(jnp.uint8)
         elif name == "cb_final":
             # device-wire checkerboard tail: scatter the last non-anchor
             # round, finish the last slice, concat + synthesis — one dispatch
@@ -796,63 +785,75 @@ class BaseModel:
                         .astype(jnp.uint8)
                     return u8, y_hat
                 return img, y_hat
-        elif name == "encode_full_cb":
-            # Checkerboard fused encode.  Entropy params MUST come from the
-            # same packed phase kernels the decoder runs (ops/cb_uniform.py):
-            # routing encode through the flax ``compress_params`` path
-            # produced one-ULP sigma differences at scale-table boundaries
-            # on TPU, flipping an occasional CDF index and desynchronizing
-            # the rANS stream (observed as intermittent 11-18 dB PSNR decode
-            # corruption on the real-image RD sweep).  Same wire layout as
-            # ``encode_full``.
-            from ..entropy.gaussian import build_indexes  # noqa: F401
+        elif name == "cb_quant":
+            # Checkerboard replay-encode helper: round slice i of y around
+            # the mu the SHARED phase executable just produced, gathered to
+            # the phase's cell order (anchors or non-anchors).  int16 — the
+            # same dtype the device-wire decoder's ``rans_round`` feeds the
+            # phase executables, so both sides hit ONE compiled program.
+            sc = self.slice_ch
+
+            def fn(y, i, mu, ids):
+                n_, h_, w_ = mu.shape[:3]
+                y_slice = jax.lax.dynamic_slice_in_dim(y, i * sc, sc, axis=3)
+                sym = jnp.round(y_slice - mu).reshape(n_, h_ * w_, sc)
+                return sym[:, ids, :].reshape(n_, -1).astype(jnp.int16)
+        elif name == "cb_replay_pack":
+            # Checkerboard replay-encode tail (mirrors ``replay_pack``):
+            # scatter the per-phase symbols/indexes the SHARED cb_a_dev /
+            # cb_b_dev executables produced back onto the grid, reconstruct
+            # the last slice, predicted bits + per-image maxabs, and the
+            # packed int16 wire — one d2h for the whole encode.  Wire layout
+            # matches the former single-scan cb encoder (full grids), so the
+            # host unpack is unchanged.
             from ..entropy.gaussian import gaussian_likelihood
-            from ..ops.cb_uniform import cb_encode_scan
+            from ..ops.cb_uniform import anchor_mask, cb_reconstruct_last
 
             cm_opt = self.net.subnet_opt["context_model"]
             actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
                 .get("actv", "relu")
             bound = self.codec_y.scale_bound
-            ns, sc, msup = (self.num_slices, self.slice_ch,
-                            self.max_support_slices)
-            tprec = self.transform_precision
-            tdt = self.transform_dtype
-            convert01 = self.convert_img_range
+            ns, sc = self.num_slices, self.slice_ch
 
-            def fn(params, x, rate_ind, table):
-                p, packed = params["net"], params["packed"]
-                if x.dtype == jnp.uint8:
-                    x = (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
-                    if convert01:
-                        x = (x + 1.0) / 2.0
-                with _precision_scope(tprec):
-                    kw = {"rate_ind": rate_ind} if self.use_rate else {}
-                    y, z = _apply_encode_latents(net, p, x, kw, tdt)
-                med = p["entropy_model_z"]["quantiles"][:, 0, 1] \
-                    [None, None, None, :]
-                z_sym = jnp.round(z - med)
-                z_hat = z_sym + med
-                z_lik = net.apply({"params": p}, z,
-                                  method=lambda n, zz: n.z_likelihood_eval(zz))
-                hyper_out = net.apply({"params": p}, z_hat,
-                                      method=lambda n, zz: n.hyper_decode(zz))
-                hm, hs = jnp.split(hyper_out, 2, axis=-1)
-                symbols, indexes, sigma_full, y_hat = cb_encode_scan(
-                    packed, y, hm, hs, table, bound, ns, sc, msup, actv)
-                lik = gaussian_likelihood(symbols, sigma_full, bound)
-                pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))
-                pred_z_bits = -jnp.sum(
-                    jnp.log2(jnp.maximum(z_lik, 1e-12)), axis=(1, 2, 3))
-                maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))  # per image
+            def fn(params, hm, support_buf, sym_na_last, y_a, mu_c, y_slices,
+                   syms_a, syms_na, idxs_a, idxs_na, sigmas, sigmas_c,
+                   z_sym, pred_z_bits, a_ids, na_ids):
+                packed = params["packed"]
+                n_, h_, w_ = hm.shape[:3]
+
+                def scat(flat, ids, dtype):
+                    z0 = jnp.zeros((n_, h_ * w_, sc), dtype)
+                    return z0.at[:, ids, :].set(
+                        flat.astype(dtype).reshape(n_, ids.shape[0], sc)) \
+                        .reshape(n_, h_, w_, sc)
+
+                sym_na_grid = scat(sym_na_last, na_ids, hm.dtype)
+                y_last = cb_reconstruct_last(packed, hm, support_buf,
+                                             sym_na_grid, y_a, mu_c, ns, actv)
+                y_hat = jnp.concatenate(list(y_slices) + [y_last], axis=-1)
+                amask = anchor_mask(h_, w_, sigmas[0].dtype)[None, :, :, None]
+                symbols = jnp.concatenate(
+                    [scat(sa, a_ids, jnp.int16) + scat(sn, na_ids, jnp.int16)
+                     for sa, sn in zip(syms_a, syms_na)], axis=-1)
+                indexes = jnp.concatenate(
+                    [scat(ia, a_ids, jnp.int16) + scat(ina, na_ids, jnp.int16)
+                     for ia, ina in zip(idxs_a, idxs_na)], axis=-1)
+                sigma = jnp.concatenate(
+                    [jnp.where(amask > 0, sg, sgc)
+                     for sg, sgc in zip(sigmas, sigmas_c)], axis=-1)
+                lik = gaussian_likelihood(symbols.astype(sigma.dtype), sigma,
+                                          bound)
+                pred_y_bits = -jnp.sum(jnp.log2(lik), axis=(1, 2, 3))  # [N]
+                maxabs = jnp.max(jnp.abs(y_hat), axis=(1, 2, 3))
                 nb = symbols.shape[0]
                 meta = jnp.stack([pred_y_bits, pred_z_bits, maxabs], axis=1)
                 meta16 = jax.lax.bitcast_convert_type(
                     meta, jnp.int16).reshape(nb, -1)
                 wire = jnp.concatenate(
-                    [symbols.astype(jnp.int16).reshape(nb, -1),
-                     indexes.astype(jnp.int16).reshape(nb, -1),
-                     z_sym.astype(jnp.int16).reshape(nb, -1), meta16], axis=1)
-                return wire, y_hat, z_hat
+                    [symbols.reshape(nb, -1),
+                     indexes.reshape(nb, -1),
+                     z_sym.reshape(nb, -1), meta16], axis=1)
+                return wire, y_hat
         elif name == "compress_params":
             def fn(params, y, z_hat):
                 return net.apply(
@@ -1039,11 +1040,10 @@ class BaseModel:
         t0 = _time.perf_counter()
         ri = self._cond_arg("q", rate_ind, N) if self.use_rate else None
         if self._is_checkerboard:
-            # params from the SAME packed phase kernels the decoder runs —
-            # the flax compress_params path is not bit-identical to them
-            cp_params = {"net": self.params, "packed": self._charm_packed}
-            wire, y_hat, z_hat = self._codec_fn("encode_full_cb")(
-                cp_params, x, ri, self._table_dev)
+            # full executable replay of the decoder's phase chain (the cb
+            # counterpart of _compress_charm) — encode/decode agreement is
+            # structural, so any codec_precision is bitstream-safe
+            wire, y_hat, z_hat = self._encode_cb_replay(x, ri)
         else:
             # generic replay chain (mirrors _compress_charm): encode_head ->
             # the decoder's own ``generic_params`` executable -> pack.  Three
@@ -1552,6 +1552,61 @@ class BaseModel:
 
         return self._host_pmap(_one, sym_l.shape[0])
 
+    def _encode_cb_replay(self, x: Array, ri) -> Tuple[Array, Array, Array]:
+        """Checkerboard encode by FULL EXECUTABLE REPLAY of the decoder's
+        phase chain (the cb counterpart of ``_compress_charm``'s replay):
+        ``encode_head`` -> the decoder's own ``cb_begin`` -> per slice,
+        ``cb_a_dev`` -> anchor quantize -> ``cb_b_dev`` -> non-anchor
+        quantize -> ``cb_replay_pack``.  Every entropy parameter that picks
+        a CDF row is produced by the LITERAL SAME compiled program on both
+        sides, so encode/decode agreement is structural — which makes
+        low-precision codec chains bitstream-safe for the checkerboard
+        family too (previously guarded to `highest`: the old single-scan
+        encoder shared source with the phases but not executables, and
+        one-ULP fusion differences corrupted streams on TPU).  All ~4S+3
+        dispatches chain asynchronously; the single blocking d2h is the
+        packed wire fetch in the caller."""
+        cp = {"net": self.params, "packed": self._charm_packed}
+        table = self._table_dev
+        y, z_sym16, pred_z_dev = self._codec_fn("encode_head")(
+            self.params, x, ri)
+        yH, yW = x.shape[1] // self.y_stride, x.shape[2] // self.y_stride
+        a_ids, na_ids = self._cb_ids(yH, yW)
+        a_ids_d = jax.device_put(a_ids, self._dev)
+        na_ids_d = jax.device_put(na_ids, self._dev)
+        hm, hs, support, sym_na_f, y_a, mu_c, z_hat = self._codec_fn(
+            "cb_begin")(cp, z_sym16, table, na_ids_d)
+        fa = self._codec_fn("cb_a_dev")
+        fb = self._codec_fn("cb_b_dev")
+        quant = self._codec_fn("cb_quant")
+        ns = self.num_slices
+        syms_a, syms_na, idxs_a, idxs_na = [], [], [], []
+        sigmas, sigmas_c = [], []
+        y_slices: List[Array] = []
+        for i in range(ns):
+            y_prev, support, mu, sigma, idx_a = fa(
+                cp, jnp.int32(i), hm, hs, support, sym_na_f, y_a, mu_c,
+                table, a_ids_d, na_ids_d)
+            if i > 0:
+                y_slices.append(y_prev)
+            sym_a_f = quant(y, jnp.int32(i), mu, a_ids_d)
+            y_a, mu_c, sigma_c, idx_na = fb(
+                cp, jnp.int32(i), sym_a_f, mu, sigma, table, a_ids_d,
+                na_ids_d)
+            sym_na_f = quant(y, jnp.int32(i), mu_c, na_ids_d)
+            syms_a.append(sym_a_f)
+            syms_na.append(sym_na_f)
+            idxs_a.append(idx_a)
+            idxs_na.append(idx_na)
+            sigmas.append(sigma)
+            sigmas_c.append(sigma_c)
+        wire, y_hat = self._codec_fn("cb_replay_pack")(
+            cp, hm, support, sym_na_f, y_a, mu_c, tuple(y_slices),
+            tuple(syms_a), tuple(syms_na), tuple(idxs_a), tuple(idxs_na),
+            tuple(sigmas), tuple(sigmas_c), z_sym16, pred_z_dev,
+            a_ids_d, na_ids_d)
+        return wire, y_hat, z_hat
+
     def _cb_ids(self, h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
         """Row-major spatial cell indexes of the checkerboard anchors
         ((y+x) % 2 == 0) and non-anchors — the device wire's flattening
@@ -1616,8 +1671,8 @@ class BaseModel:
                 states, ptrs, words_d, idx_a, fp_d, fv_d, fa_d,
                 np.int32(off), ytab["cdf"], ytab["len"], ytab["off"])
             off += a_ids.size * sc
-            y_a, mu_c, idx_na = fb(cp, jnp.int32(i), sym_a_f, mu, sigma,
-                                   table, a_ids_d, na_ids_d)
+            y_a, mu_c, _sigma_c, idx_na = fb(cp, jnp.int32(i), sym_a_f, mu,
+                                             sigma, table, a_ids_d, na_ids_d)
             sym_na_f, states, ptrs = rans(
                 states, ptrs, words_d, idx_na, fp_d, fv_d, fa_d,
                 np.int32(off), ytab["cdf"], ytab["len"], ytab["off"])
@@ -1798,42 +1853,14 @@ class BaseModel:
             fn, donate_argnums=(4,))
         return self._jit_cache["charm_uniform"]
 
-    def _cb_phase_fns(self):
-        """The TWO shape-uniform checkerboard decode programs (see
-        ops/cb_uniform.py) — two compiles serve the whole slice loop."""
-        if "cb_uniform" not in self._jit_cache:
-            from ..ops.cb_uniform import cb_phase_a, cb_phase_b
-
-            cm_opt = self.net.subnet_opt["context_model"]
-            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
-                .get("actv", "relu")
-            bound = self.codec_y.scale_bound
-            ns, sc, msup = self.num_slices, self.slice_ch, \
-                self.max_support_slices
-            prec = self.codec_precision
-
-            def fa(packed, i, hm, hs, support, sym_na, y_a, mu_c, table):
-                with _precision_scope(prec):
-                    y_prev, support, mu, sigma, idx = cb_phase_a(
-                        packed, i, hm, hs, support, sym_na, y_a, mu_c,
-                        table, bound, ns, sc, msup, actv)
-                return y_prev, support, mu, sigma, idx.astype(jnp.uint8)
-
-            def fb(packed, i, sym_a, mu, sigma, table):
-                with _precision_scope(prec):
-                    y_a, mu_c, _, idx = cb_phase_b(packed, i, sym_a, mu,
-                                                   sigma, table, bound)
-                return y_a, mu_c, idx.astype(jnp.uint8)
-
-            self._jit_cache["cb_uniform"] = (
-                jax.jit(fa, donate_argnums=(4,)), jax.jit(fb))
-        return self._jit_cache["cb_uniform"]
-
     def _checkerboard_decompress(self, y_str: bytes,
                                  hyper_out: Array) -> np.ndarray:
-        """Two-phase (anchor -> non-anchor) decode per slice, running TWO
-        compiled programs total (phase A / phase B, shape-uniform across
-        slices via packed weights — ops/cb_uniform.py)."""
+        """Host-wire (CompressAI-stream) checkerboard decode, driving the
+        SAME ``cb_a_dev``/``cb_b_dev`` executables as the device-wire decode
+        and the replay encoder — one executable family for every cb path,
+        so encode/decode agreement is structural at any codec precision.
+        The glue between the executables' gathered cell order and the
+        stream's subgrid-channel-major order is exact integer numpy."""
         from ..runtime import RansStreamDecoder
         from ..subnet.context_model.checkerboard import split_checkerboard
 
@@ -1842,12 +1869,24 @@ class BaseModel:
         n, h, w, _ = hyper_mean.shape
         sc = self.slice_ch
         ns = self.num_slices
-        phase_a, phase_b = self._cb_phase_fns()
-        packed = self._charm_packed
+        a_ids, na_ids = self._cb_ids(h, w)
+        a_ids_d = jax.device_put(a_ids, self._dev)
+        na_ids_d = jax.device_put(na_ids, self._dev)
+        cp = {"net": self.params, "packed": self._charm_packed}
+        fa = self._codec_fn("cb_a_dev")
+        fb = self._codec_fn("cb_b_dev")
         table = self._table_dev
         decoder = RansStreamDecoder(y_str)
 
-        def _decode_grids(grids) -> np.ndarray:
+        def _scat(flat_np, ids):
+            out = np.zeros((n, h * w, sc), flat_np.dtype)
+            out[:, ids, :] = flat_np.reshape(n, ids.size, sc)
+            return out.reshape(n, h, w, sc)
+
+        def _gath(grid_np, ids):
+            return grid_np.reshape(n, h * w, sc)[:, ids, :].reshape(n, -1)
+
+        def _decode_grids(grids):
             """Decode subgrids (channel-major each) from the stream."""
             outs = []
             for g in grids:
@@ -1860,35 +1899,45 @@ class BaseModel:
                             .astype(np.float32))
             return outs
 
-        zeros = jnp.zeros((n, h, w, sc), jnp.float32)
+        # zero loop carries, matching cb_begin's dtypes so every round of
+        # this loop reuses the device-wire decode's compiled variants
         support = jnp.zeros((n, h, w, self.max_support_slices * sc),
                             jnp.float32)
-        _, support, mu, sigma, idx = phase_a(
-            packed, jnp.int32(0), hyper_mean, hyper_scale, support,
-            zeros, zeros, zeros, table)
+        sym_na_f = jnp.zeros((n, na_ids.size * sc), jnp.float32)
+        y_a = jnp.zeros((n, h, w, sc), jnp.float32)
+        mu_c = jnp.zeros((n, h, w, sc), jnp.float32)
         y_slices: List[Array] = []
         try:
             for i in range(ns):
-                idx_np = np.asarray(idx).astype(np.int32)
-                ia1, ia2, _, _ = split_checkerboard(idx_np)
+                y_prev, support, mu, sigma, idx_a = fa(
+                    cp, jnp.int32(i), hyper_mean, hyper_scale, support,
+                    sym_na_f, y_a, mu_c, table, a_ids_d, na_ids_d)
+                if i > 0:
+                    y_slices.append(y_prev)
+                idx_grid = _scat(np.asarray(idx_a).astype(np.int32), a_ids)
+                ia1, ia2, _, _ = split_checkerboard(idx_grid)
                 a1, a2 = _decode_grids((ia1, ia2))
                 z2 = np.zeros_like(a1)
-                sym_a = self._place_batch(_merge_np(a1, a2, z2, z2))
-                y_a, mu_c, idx_na = phase_b(packed, jnp.int32(i), sym_a, mu,
-                                            sigma, table)
-                idx_na_np = np.asarray(idx_na).astype(np.int32)
-                _, _, in1, in2 = split_checkerboard(idx_na_np)
+                sym_a_f = self._place_batch(
+                    _gath(_merge_np(a1, a2, z2, z2), a_ids)
+                    .astype(np.int16))
+                y_a, mu_c, _sigma_c, idx_na = fb(
+                    cp, jnp.int32(i), sym_a_f, mu, sigma, table, a_ids_d,
+                    na_ids_d)
+                idx_grid = _scat(np.asarray(idx_na).astype(np.int32), na_ids)
+                _, _, in1, in2 = split_checkerboard(idx_grid)
                 na1, na2 = _decode_grids((in1, in2))
-                sym_na = self._place_batch(
-                    _merge_np(np.zeros_like(na1), np.zeros_like(na1), na1,
-                              na2))
-                y_prev, support, mu, sigma, idx = phase_a(
-                    packed, jnp.int32(i + 1), hyper_mean, hyper_scale,
-                    support, sym_na, y_a, mu_c, table)
-                y_slices.append(y_prev)
+                sym_na_f = self._place_batch(
+                    _gath(_merge_np(z2, z2, na1, na2), na_ids)
+                    .astype(np.int16))
         finally:
             decoder.close()
-        return np.asarray(jnp.concatenate(y_slices, axis=-1))
+        # reconstruct the last slice (cb_a_dev at i == ns runs exactly the
+        # y_prev head; its params outputs are dead)
+        y_last, _, _, _, _ = fa(
+            cp, jnp.int32(ns), hyper_mean, hyper_scale, support, sym_na_f,
+            y_a, mu_c, table, a_ids_d, na_ids_d)
+        return np.asarray(jnp.concatenate(y_slices + [y_last], axis=-1))
 
     # ---------------- validation -------------------------------------------
 

@@ -134,64 +134,3 @@ def cb_reconstruct_last(packed: Dict[str, Array], hyper_mean: Array,
     return y_prev + lrp
 
 
-def cb_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
-                   hyper_scale: Array, scale_table: Array, scale_bound: float,
-                   num_slices: int, slice_ch: int, max_support: int,
-                   actv: str = "relu"
-                   ) -> Tuple[Array, Array, Array, Array]:
-    """Full checkerboard ENCODE as one program, built from the SAME
-    ``cb_phase_a`` / ``cb_phase_b`` the decoder runs.
-
-    Numerics contract: the decoder recomputes mu/sigma/indexes from the
-    stream, so the encoder must derive them with bit-identical arithmetic.
-    Routing the encode through the flax ``forward_compress`` path (different
-    op structure from the packed phase kernels) produced occasional one-ULP
-    sigma differences at scale-table boundaries on TPU — a flipped CDF row
-    desynchronizes the rANS stream and corrupts every later symbol.  Sharing
-    the phase functions makes encode/decode agreement structural, the same
-    guarantee ``uniform_encode_scan`` gives the Charm path.
-
-    Returns (symbols, indexes, sigma_full, y_hat), all [N, h, w, C]:
-    symbols/indexes hold the anchor values at anchor positions and the
-    non-anchor values elsewhere (the decode-order serialization splits them
-    back out), sigma_full likewise for predicted-bit accounting, and y_hat
-    is the decoder-identical reconstruction."""
-    n, h, w, _ = hyper_mean.shape
-    amask = anchor_mask(h, w, hyper_mean.dtype)[None, :, :, None]
-    zeros = jnp.zeros((n, h, w, slice_ch), hyper_mean.dtype)
-    support0 = jnp.zeros((n, h, w, max_support * slice_ch), hyper_mean.dtype)
-
-    def body(carry, i):
-        support_buf, sym_na_prev, y_a_prev, mu_c_prev = carry
-        y_prev, support_buf, mu, sigma, idx_a = cb_phase_a(
-            packed, i, hyper_mean, hyper_scale, support_buf, sym_na_prev,
-            y_a_prev, mu_c_prev, scale_table, scale_bound, num_slices,
-            slice_ch, max_support, actv)
-        y_slice = jax.lax.dynamic_slice_in_dim(y, i * slice_ch, slice_ch,
-                                               axis=3)
-        sym_a = jnp.round(y_slice - mu) * amask
-        y_a, mu_c, sigma_c, idx_na = cb_phase_b(packed, i, sym_a, mu, sigma,
-                                                scale_table, scale_bound)
-        sym_na = jnp.round(y_slice - mu_c) * (1.0 - amask)
-        sym_full = sym_a + sym_na
-        idx_full = jnp.where(amask > 0, idx_a, idx_na)
-        sigma_full = jnp.where(amask > 0, sigma, sigma_c)
-        return ((support_buf, sym_na, y_a, mu_c),
-                (y_prev, sym_full, idx_full, sigma_full))
-
-    carry, (ys, syms, idxs, sigmas) = jax.lax.scan(
-        body, (support0, zeros, zeros, zeros), jnp.arange(num_slices))
-    support_buf, sym_na, y_a, mu_c = carry
-    y_last, _, _, _, _ = cb_phase_a(
-        packed, jnp.int32(num_slices), hyper_mean, hyper_scale, support_buf,
-        sym_na, y_a, mu_c, scale_table, scale_bound, num_slices, slice_ch,
-        max_support, actv)
-
-    def cat(stacked, last=None):
-        # [S, N, h, w, sc] -> [N, h, w, S*sc]
-        parts = [stacked[i] for i in range(stacked.shape[0])]
-        if last is not None:
-            parts = parts[1:] + [last]  # ys[i] reconstructs slice i-1
-        return jnp.concatenate(parts, axis=-1)
-
-    return (cat(syms), cat(idxs), cat(sigmas), cat(ys, y_last))

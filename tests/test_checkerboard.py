@@ -65,12 +65,20 @@ def test_checkerboard_codec_roundtrip(cb_model):
     assert real_bits < enc["pred_y_bit"] * 1.2 + 300
 
 
-def test_checkerboard_rejects_low_precision_chain():
-    """codec_precision below `highest` is only executable-replay-safe for
-    the Charm/generic families; the checkerboard setup must refuse it."""
+def test_checkerboard_low_precision_chain_roundtrips():
+    """With the cb encode replaying the decoder's phase executables, a
+    low-precision codec chain is bitstream-safe for the checkerboard family
+    too (the former `highest`-only guard is gone): compress/decompress must
+    reproduce the encoder latents bit-exactly."""
     opt = cb_opt()
     opt["codec_precision"] = "default"
     model = build_comp_model(opt)
     model.init_params(input_size=64)
-    with pytest.raises(ValueError, match="highest"):
-        model.codec_setup()
+    model.codec_setup()
+    x = np.random.default_rng(31).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc = model.compress(x, rate_ind=1.0)
+    fake, _, y_hat = model.decompress(enc["string_list"], beta=0.5)
+    np.testing.assert_array_equal(np.asarray(y_hat),
+                                  np.asarray(enc["y_hat"]))
+    assert np.all(np.isfinite(fake))
