@@ -1302,19 +1302,24 @@ class BaseModel:
         timing = {}
         t0 = _time.perf_counter()
         z_sym = self.codec_z.decompress([z_str], (zH, zW))
-        z_hat = self.codec_z.dequantize(z_sym)
-        hyper_out = self._codec_fn("hyper_decode")(self.params,
-                                                   jnp.asarray(z_hat))
+        z16 = self._place_batch(z_sym.astype(np.int16))
         timing["z_hyper_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
         if self._is_checkerboard:
-            y_hat = self._checkerboard_decompress(y_str, hyper_out)
+            y_hat, z_hat = self._checkerboard_decompress(y_str, z16)
         else:
-            hyper_np = np.asarray(hyper_out)
-            means, scales = np.split(hyper_np, 2, axis=-1)
-            indexes = self.codec_y.build_indexes(scales)
-            y_hat = self.codec_y.decompress([y_str], indexes, means=means)
+            # entropy params from the SAME ``generic_params`` executable the
+            # encoder replayed (and the device-wire decode bootstraps with)
+            # — the indexes picking CDF rows are bit-identical on both
+            # sides by construction, at any codec precision; the former
+            # hyper_decode + host build_indexes pairing was a separately
+            # fused program with a one-ulp-at-a-boundary desync risk
+            z_hat, y_mean, _y_scale, idx_u8 = self._codec_fn(
+                "generic_params")(self.params, z16, self._table_dev)
+            y_hat = self.codec_y.decompress(
+                [y_str], np.asarray(idx_u8).astype(np.int32),
+                means=np.asarray(y_mean))
         timing["y_entropy_decode_s"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -1854,19 +1859,21 @@ class BaseModel:
         return self._jit_cache["charm_uniform"]
 
     def _checkerboard_decompress(self, y_str: bytes,
-                                 hyper_out: Array) -> np.ndarray:
+                                 z16: Array) -> Tuple[np.ndarray, Array]:
         """Host-wire (CompressAI-stream) checkerboard decode, driving the
-        SAME ``cb_a_dev``/``cb_b_dev`` executables as the device-wire decode
-        and the replay encoder — one executable family for every cb path,
-        so encode/decode agreement is structural at any codec precision.
-        The glue between the executables' gathered cell order and the
-        stream's subgrid-channel-major order is exact integer numpy."""
+        SAME ``cb_begin`` + ``cb_a_dev``/``cb_b_dev`` executables as the
+        device-wire decode and the replay encoder — one executable family
+        for every cb path, so encode/decode agreement (hm/hs included) is
+        structural at any codec precision.  The glue between the
+        executables' gathered cell order and the stream's
+        subgrid-channel-major order is exact integer numpy.
+        Returns (y_hat, z_hat)."""
         from ..runtime import RansStreamDecoder
         from ..subnet.context_model.checkerboard import split_checkerboard
 
         assert self._charm_packed is not None, "codec_setup() builds weights"
-        hyper_mean, hyper_scale = jnp.split(hyper_out, 2, axis=-1)
-        n, h, w, _ = hyper_mean.shape
+        n, zh, zw = z16.shape[:3]
+        h, w = zh * 4, zw * 4
         sc = self.slice_ch
         ns = self.num_slices
         a_ids, na_ids = self._cb_ids(h, w)
@@ -1876,6 +1883,8 @@ class BaseModel:
         fa = self._codec_fn("cb_a_dev")
         fb = self._codec_fn("cb_b_dev")
         table = self._table_dev
+        hyper_mean, hyper_scale, support, sym_na_f, y_a, mu_c, z_hat = \
+            self._codec_fn("cb_begin")(cp, z16, table, na_ids_d)
         decoder = RansStreamDecoder(y_str)
 
         def _scat(flat_np, ids):
@@ -1899,13 +1908,6 @@ class BaseModel:
                             .astype(np.float32))
             return outs
 
-        # zero loop carries, matching cb_begin's dtypes so every round of
-        # this loop reuses the device-wire decode's compiled variants
-        support = jnp.zeros((n, h, w, self.max_support_slices * sc),
-                            jnp.float32)
-        sym_na_f = jnp.zeros((n, na_ids.size * sc), jnp.float32)
-        y_a = jnp.zeros((n, h, w, sc), jnp.float32)
-        mu_c = jnp.zeros((n, h, w, sc), jnp.float32)
         y_slices: List[Array] = []
         try:
             for i in range(ns):
@@ -1937,7 +1939,8 @@ class BaseModel:
         y_last, _, _, _, _ = fa(
             cp, jnp.int32(ns), hyper_mean, hyper_scale, support, sym_na_f,
             y_a, mu_c, table, a_ids_d, na_ids_d)
-        return np.asarray(jnp.concatenate(y_slices + [y_last], axis=-1))
+        return (np.asarray(jnp.concatenate(y_slices + [y_last], axis=-1)),
+                z_hat)
 
     # ---------------- validation -------------------------------------------
 
