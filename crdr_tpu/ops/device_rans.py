@@ -122,6 +122,137 @@ def lane_decode_round(states: Array, ptrs: Array, words: Array,
     return vals, states, ptrs
 
 
+def encode_grid(slice_offsets, num_lanes: int) -> "np.ndarray":
+    """Static [T, K] grid of flat symbol positions in lane consumption
+    order (host-side helper; the grid is baked into the compiled encoder).
+
+    Row t holds the t-th symbol batch: within each autoregressive round
+    (``slice_offsets`` boundaries, where lane assignment restarts) symbol
+    ``off_s + r*K + j`` goes to row ``r``, lane ``j``.  Entries past a
+    round's end are -1 (inactive).  Mirrors the per-lane sequence of
+    ``csrc/rans.cpp lane_rans_encode`` pass 2 exactly.
+    """
+    import numpy as np
+
+    off = np.asarray(slice_offsets, dtype=np.int64)
+    k = int(num_lanes)
+    rows = []
+    for s in range(off.size - 1):
+        m = int(off[s + 1] - off[s])
+        t = -(-m // k)
+        g = (off[s] + np.arange(t, dtype=np.int64)[:, None] * k
+             + np.arange(k, dtype=np.int64)[None, :])
+        rows.append(np.where(g < off[s + 1], g, -1))
+    return np.concatenate(rows, axis=0).astype(np.int32)
+
+
+def lane_encode_rounds(sym: Array, idx: Array, grid, cdf: Array,
+                       cdf_len: Array, offset: Array, fix_cap: int
+                       ) -> Tuple[Array, Array, Array, Array, Array]:
+    """On-device rans32 lane ENCODER — the bit-exact inverse of
+    :func:`lane_decode_round`, producing the same streams as the host
+    ``runtime/lane_rans.lane_encode`` (C++), byte for byte.
+
+    sym/idx: [N, M] int32 in flat lane-consumption order; grid: the static
+    [T, K] position grid from :func:`encode_grid`; cdf [R, L] / cdf_len [R]
+    / offset [R]: int32 tables.  Returns ``(words [N, K, T+2] uint16,
+    lens [N, K] int32, fix_pos [N, F] int32, fix_val [N, F] int32,
+    n_esc [N] int32)`` — ``words[n, k, :lens[n, k]]`` is lane k's stream
+    (2 state words + renorm words); escapes past ``fix_cap`` are dropped
+    from the fixup arrays but counted in ``n_esc`` (caller falls back to
+    the host encoder when ``n_esc > fix_cap``).
+
+    Exactness: everything is integer — gathers for slot resolution, uint32
+    state arithmetic (the renorm emits at most ONE word per symbol: the
+    state invariant keeps x < 2^32, so a single 16-bit shift always lands
+    below freq<<16), and int32 cumsums for stream/fixup compaction.  The
+    reverse ``lax.scan`` encodes last-symbol-first exactly like the C++
+    coder; ascending grid order then equals the decoder's read order.
+    """
+    import numpy as np
+
+    n, m = sym.shape
+    t_steps, k = grid.shape
+    sym = sym.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    big_l = cdf.shape[1]
+
+    # per-symbol slot resolution (forward flat order, = C++ pass 1)
+    off_s = jnp.take(offset, idx, axis=0)
+    maxv = jnp.take(cdf_len, idx, axis=0) - 2
+    folded = sym - off_s
+    esc = (folded < 0) | (folded >= maxv)
+    slot = jnp.where(esc, maxv, folded)
+    flat = idx * big_l + slot
+    cdf_flat = cdf.reshape(-1)
+    low = jnp.take(cdf_flat, flat, axis=0)
+    freq = jnp.take(cdf_flat, flat + 1, axis=0) - low
+
+    # lane grids [T, N, K]
+    gpos = jnp.asarray(np.maximum(grid, 0).reshape(-1))
+    active = jnp.asarray(grid >= 0)  # [T, K]
+
+    def to_grid(x):
+        g = jnp.take(x, gpos, axis=1).reshape(n, t_steps, k)
+        return jnp.moveaxis(g, 1, 0)
+
+    low_g = to_grid(low).astype(jnp.uint32)
+    freq_g = jnp.where(active[:, None, :], to_grid(freq), 1) \
+        .astype(jnp.uint32)  # inactive lanes divide by 1
+
+    init = jnp.full((n, k), 1 << 16, jnp.uint32)  # kLaneL
+
+    def step(state, xs):
+        lo, fq, act = xs
+        act = act[None, :]
+        # renorm: state >= freq << 16  <=>  state >> 16 >= freq (exact)
+        emit = act & ((state >> 16) >= fq)
+        word = (state & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        st1 = jnp.where(emit, state >> 16, state)
+        q = st1 // fq
+        r = st1 - q * fq
+        st2 = (q << 16) + r + lo  # < 2^32: q < 2^16 after renorm
+        return jnp.where(act, st2, st1), (word, emit)
+
+    state, (words_t, emit_t) = jax.lax.scan(
+        step, init, (low_g, freq_g, active), reverse=True)
+
+    # stream compaction: the C++ coder writes emissions reversed, so the
+    # word from grid row t lands at 2 + #{emissions at rows < t} (per lane)
+    emit_i = emit_t.astype(jnp.int32)
+    ecum = jnp.cumsum(emit_i, axis=0)
+    pos = 2 + ecum - emit_i
+    lens = 2 + ecum[-1]
+    cap = t_steps + 2
+    bidx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    kidx = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    oob = n * k * cap
+    flatpos = (bidx * k + kidx) * cap + jnp.where(emit_t, pos, oob)
+    words = jnp.zeros(n * k * cap, jnp.int32) \
+        .at[flatpos.reshape(-1)].set(words_t.reshape(-1), mode="drop") \
+        .reshape(n, k, cap)
+    words = words.at[:, :, 0].set((state >> 16).astype(jnp.int32))
+    words = words.at[:, :, 1].set((state & jnp.uint32(0xFFFF))
+                                  .astype(jnp.int32))
+
+    # escape fixups in forward flat order (= C++ pass 1 order)
+    esc_i = esc.astype(jnp.int32)
+    fcum = jnp.cumsum(esc_i, axis=1)
+    fpos = fcum - esc_i
+    n_esc = fcum[:, -1]
+    bidx2 = jnp.arange(n, dtype=jnp.int32)[:, None]
+    foob = n * fix_cap
+    fi = (bidx2 * fix_cap
+          + jnp.where(esc & (fpos < fix_cap), fpos, foob)).reshape(-1)
+    parange = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :], (n, m)).reshape(-1)
+    fix_pos = jnp.zeros(n * fix_cap, jnp.int32) \
+        .at[fi].set(parange, mode="drop").reshape(n, fix_cap)
+    fix_val = jnp.zeros(n * fix_cap, jnp.int32) \
+        .at[fi].set(sym.reshape(-1), mode="drop").reshape(n, fix_cap)
+    return words.astype(jnp.uint16), lens, fix_pos, fix_val, n_esc
+
+
 def apply_fixups(vals: Array, fix_pos: Array, fix_val: Array,
                  fix_active: Array, lo: int | Array, m: int) -> Array:
     """Overlay escape fixups onto one round's decoded values.
