@@ -324,9 +324,21 @@ class BaseModel:
         self.device_wire_lanes = int(self.opt.get("device_wire_lanes", 128))
         self.device_wire_fixup_cap = int(
             self.opt.get("device_wire_fixup_cap", 256))
+        # device-wire lane ENCODE placement: "device" (default) runs the
+        # rans32 lane coder on the accelerator as one more async dispatch
+        # after the pack executable — the encode d2h shrinks to the coded
+        # words (~half the sym+idx wire) and the host does zero entropy
+        # work; "host" keeps the threaded C++ coder (A/B escape hatch).
+        # Bytes are identical either way (tests/test_device_rans_encode.py
+        # proves byte equality; the golden digests pin the containers).
+        self.device_wire_encoder = os.environ.get(
+            "CRDR_DEVICE_ENC", self.opt.get("device_wire_encoder", "device"))
+        assert self.device_wire_encoder in ("device", "host"), \
+            self.device_wire_encoder
         self._ytab_cache = None
         self._ztab_cache = None
         self._zidx_cache: Dict[Tuple[int, int, int], Array] = {}
+        self._lane_enc_cache: Dict[Tuple[int, ...], Tuple] = {}
 
         # Multi-device serving (capability extension — the reference serves
         # one image on one GPU): `serving_devices: N` shards every batched
@@ -908,6 +920,39 @@ class BaseModel:
                     table, bound, ns, sc, msup, actv)
                 return (hm, hs, support, mu0, sigma0,
                         idx0.astype(jnp.uint8), z_hat)
+        elif name == "lane_wire":
+            # device-wire lane ENCODE: consume the pack executables' int16
+            # wire ON DEVICE — permute y sym/idx into lane consumption
+            # order, run the rans32 lane coder for y and z
+            # (ops/device_rans.lane_encode_rounds, byte-equal to the C++
+            # host coder), and hand back only the coded words + fixups +
+            # meta.  Chains asynchronously after replay_pack/generic_pack/
+            # cb_replay_pack; the encode's single blocking d2h becomes the
+            # coded streams (~bpp-sized) instead of the sym+idx wire, and
+            # the host does no entropy work at all.  Integer-exact
+            # throughout, so it adds no float risk to the bitstream.
+            from ..ops.device_rans import lane_encode_rounds
+
+            zc = self.zC
+            fix_cap = self.device_wire_fixup_cap
+
+            def fn(wire16, perm_y, grid_y, grid_z,
+                   ycdf, ylen_t, yoff, zcdf, zlen_t, zoff):
+                n = wire16.shape[0]
+                ylen = perm_y.shape[0]
+                zlen = wire16.shape[1] - 2 * ylen - 6
+                w32 = wire16.astype(jnp.int32)
+                sym_l = jnp.take(w32[:, :ylen], perm_y, axis=1)
+                idx_l = jnp.take(w32[:, ylen:2 * ylen], perm_y, axis=1)
+                y_out = lane_encode_rounds(
+                    sym_l, idx_l, grid_y, ycdf, ylen_t, yoff, fix_cap)
+                z_f = w32[:, 2 * ylen:2 * ylen + zlen]
+                # z CDF row IS the channel id; flat [h, w, C] C-order
+                zidx = jnp.broadcast_to(
+                    jnp.arange(zlen, dtype=jnp.int32) % zc, (n, zlen))
+                z_out = lane_encode_rounds(
+                    z_f, zidx, grid_z, zcdf, zlen_t, zoff, fix_cap)
+                return y_out + z_out + (wire16[:, -6:],)
         elif name == "rans_round":
             # device-wire entropy decode of ONE autoregressive round: expand
             # the per-symbol CDF rows, advance all lanes, overlay fixups.
@@ -1056,63 +1101,72 @@ class BaseModel:
                 "generic_params")(self.params, z_sym16, self._table_dev)
             wire, y_hat = self._codec_fn("generic_pack")(
                 self.params, y, y_mean, y_scale, idx_u8, z_sym16, pred_z_dev)
-        wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
-        timing["device_encode_s"] = _time.perf_counter() - t0
-
-        t0 = _time.perf_counter()
         padH, padW = x.shape[1], x.shape[2]
         yH, yW = padH // self.y_stride, padW // self.y_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
         ylen = yH * yW * self.yC
         zlen = zH * zW * self.zC
-        sym_f, idx_f, z_f, meta16 = np.split(
-            wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
-        meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
-        pred_y_bits, pred_z_bits, maxabs = meta[:, 0], meta[:, 1], meta[:, 2]
-        z_sym_np = z_f.reshape(N, zH, zW, self.zC).astype(np.int32)
-        z_str = self._z_serialize(z_sym_np)
-        sym = sym_f.reshape(N, yH, yW, self.yC).astype(np.int32)
-        idx = idx_f.reshape(N, yH, yW, self.yC).astype(np.int32)
-        if self._is_checkerboard and self.wire_format == "device":
-            # 2*num_slices lane rounds (anchors of slice i, then its
-            # non-anchors), each flattened cell-major with channels
-            # contiguous — exactly the gather order of the decoder's
-            # cb_a_dev / cb_b_dev executables
-            a_ids, na_ids = self._cb_ids(yH, yW)
-            ns, sc = self.num_slices, self.slice_ch
-            s5 = sym.reshape(N, yH * yW, ns, sc)
-            i5 = idx.reshape(N, yH * yW, ns, sc)
-            parts_s, parts_i, off = [], [], [0]
-            for s in range(ns):
-                for ids in (a_ids, na_ids):
-                    parts_s.append(s5[:, ids, s, :].reshape(N, -1))
-                    parts_i.append(i5[:, ids, s, :].reshape(N, -1))
-                    off.append(off[-1] + ids.size * sc)
-            y_str = self._lane_serialize(
-                np.concatenate(parts_s, axis=1),
-                np.concatenate(parts_i, axis=1),
-                np.asarray(off, np.int64))
-        elif self._is_checkerboard:
-            # decode-order serialization: per slice anchors, non-anchors
-            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
-                _checkerboard_serialize(sym[i:i + 1], self.num_slices),
-                _checkerboard_serialize(idx[i:i + 1], self.num_slices),
-                self.codec_y.quantized_cdf, self.codec_y.cdf_length,
-                self.codec_y.offset), N)
-        elif self.wire_format == "device":
-            # one lane round covering the whole latent, [h, w, C] C-order
-            # (the decoder's generic_params index order)
-            y_str = self._lane_serialize(
-                sym.reshape(N, -1), idx.reshape(N, -1),
-                np.asarray([0, ylen], np.int64))
+        dev_lane = None
+        if (self.wire_format == "device"
+                and self.device_wire_encoder == "device"):
+            # fully device-resident entropy encode: the lane coder chains
+            # asynchronously after the pack executable and the blocking d2h
+            # becomes the coded streams + fixups + meta, not sym+idx
+            dev_lane = self._lane_wire_dev(wire, N, yH, yW, zH, zW, timing)
+        if dev_lane is not None:
+            y_str, z_str, meta = dev_lane
         else:
-            # channel-major rANS serialization (stream-layout parity)
-            sym_flat = sym.transpose(0, 3, 1, 2).reshape(N, -1)
-            idx_flat = idx.transpose(0, 3, 1, 2).reshape(N, -1)
-            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
-                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset), N)
-        timing["host_rans_s"] = _time.perf_counter() - t0
+            wire_np = np.asarray(wire)  # the ONE blocking d2h of the encode
+            timing["device_encode_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            sym_f, idx_f, z_f, meta16 = np.split(
+                wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
+            meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
+            z_sym_np = z_f.reshape(N, zH, zW, self.zC).astype(np.int32)
+            z_str = self._z_serialize(z_sym_np)
+            sym = sym_f.reshape(N, yH, yW, self.yC).astype(np.int32)
+            idx = idx_f.reshape(N, yH, yW, self.yC).astype(np.int32)
+            if self._is_checkerboard and self.wire_format == "device":
+                # 2*num_slices lane rounds (anchors of slice i, then its
+                # non-anchors), each flattened cell-major with channels
+                # contiguous — exactly the gather order of the decoder's
+                # cb_a_dev / cb_b_dev executables
+                a_ids, na_ids = self._cb_ids(yH, yW)
+                ns, sc = self.num_slices, self.slice_ch
+                s5 = sym.reshape(N, yH * yW, ns, sc)
+                i5 = idx.reshape(N, yH * yW, ns, sc)
+                parts_s, parts_i, off = [], [], [0]
+                for s in range(ns):
+                    for ids in (a_ids, na_ids):
+                        parts_s.append(s5[:, ids, s, :].reshape(N, -1))
+                        parts_i.append(i5[:, ids, s, :].reshape(N, -1))
+                        off.append(off[-1] + ids.size * sc)
+                y_str = self._lane_serialize(
+                    np.concatenate(parts_s, axis=1),
+                    np.concatenate(parts_i, axis=1),
+                    np.asarray(off, np.int64))
+            elif self._is_checkerboard:
+                # decode-order serialization: per slice anchors, non-anchors
+                y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
+                    _checkerboard_serialize(sym[i:i + 1], self.num_slices),
+                    _checkerboard_serialize(idx[i:i + 1], self.num_slices),
+                    self.codec_y.quantized_cdf, self.codec_y.cdf_length,
+                    self.codec_y.offset), N)
+            elif self.wire_format == "device":
+                # one lane round covering the whole latent, [h, w, C] C-order
+                # (the decoder's generic_params index order)
+                y_str = self._lane_serialize(
+                    sym.reshape(N, -1), idx.reshape(N, -1),
+                    np.asarray([0, ylen], np.int64))
+            else:
+                # channel-major rANS serialization (stream-layout parity)
+                sym_flat = sym.transpose(0, 3, 1, 2).reshape(N, -1)
+                idx_flat = idx.transpose(0, 3, 1, 2).reshape(N, -1)
+                y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
+                    sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+                    self.codec_y.cdf_length, self.codec_y.offset), N)
+            timing["host_rans_s"] = _time.perf_counter() - t0
+        pred_y_bits, pred_z_bits, maxabs = meta[:, 0], meta[:, 1], meta[:, 2]
 
         num_pixel = H * W
         rate_arr = (np.broadcast_to(
@@ -1202,46 +1256,53 @@ class BaseModel:
         wire, y_hat = self._codec_fn("replay_pack")(
             cp_params, hm, support, tuple(syms), tuple(idxs), tuple(sigmas),
             tuple(y_slices), mu, z_sym16, pred_z_dev)
-        wire_np = np.asarray(wire)  # the ONLY blocking d2h of the encode
-        timing["device_encode_s"] = _time.perf_counter() - t0
-
-        t0 = _time.perf_counter()
-        # unflatten the wire vector: y symbols | y indexes | z symbols | meta
         padH, padW = x.shape[1], x.shape[2]
         yH, yW = padH // self.y_stride, padW // self.y_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
         ylen = yH * yW * self.yC
         zlen = zH * zW * self.zC
-        sym_f, idx_f, z_f, meta16 = np.split(
-            wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
-        # column slices of wire_np are non-contiguous for N > 1
-        meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
+        dev_lane = None
+        if (self.wire_format == "device"
+                and self.device_wire_encoder == "device"):
+            # fully device-resident entropy encode (see _compress_impl)
+            dev_lane = self._lane_wire_dev(wire, N, yH, yW, zH, zW, timing)
+        if dev_lane is not None:
+            y_str, z_str, meta = dev_lane
+        else:
+            wire_np = np.asarray(wire)  # the ONE blocking d2h of the encode
+            timing["device_encode_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            # unflatten the wire: y symbols | y indexes | z symbols | meta
+            sym_f, idx_f, z_f, meta16 = np.split(
+                wire_np, [ylen, 2 * ylen, 2 * ylen + zlen], axis=1)
+            # column slices of wire_np are non-contiguous for N > 1
+            meta = np.ascontiguousarray(meta16).view(np.float32)  # [N, 3]
+            z_sym_np = z_f.reshape(N, zH, zW, self.zC)
+            z_str = self._z_serialize(z_sym_np)
+            if self.wire_format == "device":
+                # slice-major flat (the decoder's consumption order: for
+                # each slice, [h, w, sc] C-order)
+                ns, sc = self.num_slices, self.slice_ch
+
+                def tolanes(a):
+                    return a.reshape(N, yH, yW, ns, sc) \
+                        .transpose(0, 3, 1, 2, 4).reshape(N, -1)
+
+                y_str = self._lane_serialize(
+                    tolanes(sym_f), tolanes(idx_f),
+                    np.arange(ns + 1, dtype=np.int64) * (yH * yW * sc))
+            else:
+                # channel-major rANS serialization (stream-layout parity)
+                sym_flat = sym_f.reshape(N, yH, yW, self.yC) \
+                    .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
+                idx_flat = idx_f.reshape(N, yH, yW, self.yC) \
+                    .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
+                y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
+                    sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
+                    self.codec_y.cdf_length, self.codec_y.offset), N)
+            timing["host_rans_s"] = _time.perf_counter() - t0
         pred_y_bits, pred_z_bits = meta[:, 0], meta[:, 1]
         maxabs_np = meta[:, 2]
-        z_sym_np = z_f.reshape(N, zH, zW, self.zC)
-        z_str = self._z_serialize(z_sym_np)
-        if self.wire_format == "device":
-            # slice-major flat (the decoder's consumption order: for each
-            # slice, [h, w, sc] C-order)
-            ns, sc = self.num_slices, self.slice_ch
-
-            def tolanes(a):
-                return a.reshape(N, yH, yW, ns, sc).transpose(0, 3, 1, 2, 4) \
-                    .reshape(N, -1)
-
-            y_str = self._lane_serialize(
-                tolanes(sym_f), tolanes(idx_f),
-                np.arange(ns + 1, dtype=np.int64) * (yH * yW * sc))
-        else:
-            # channel-major rANS serialization (stream-layout parity)
-            sym_flat = sym_f.reshape(N, yH, yW, self.yC) \
-                .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
-            idx_flat = idx_f.reshape(N, yH, yW, self.yC) \
-                .transpose(0, 3, 1, 2).reshape(N, -1).astype(np.int32)
-            y_str = self._host_pmap(lambda i: rans_encode_with_indexes(
-                sym_flat[i], idx_flat[i], self.codec_y.quantized_cdf,
-                self.codec_y.cdf_length, self.codec_y.offset), N)
-        timing["host_rans_s"] = _time.perf_counter() - t0
 
         num_pixel = H * W
         rate_arr = (np.broadcast_to(
@@ -1520,6 +1581,101 @@ class BaseModel:
                     "compressai — set wire_format: device (or "
                     "CRDR_WIRE=device) to decode it")
 
+    def _lane_k(self, m: int) -> int:
+        """Lane count for an ``m``-symbols-per-round stream: the config
+        value, auto-reduced for small latents so the fixed per-lane cost
+        (2 state words + a u16 length) stays a few percent of the stream;
+        the decoder reads K from the container."""
+        return min(self.device_wire_lanes,
+                   max(8, 1 << max(0, (m // 64).bit_length() - 1)))
+
+    def _lane_wire_statics(self, yH: int, yW: int, zH: int, zW: int):
+        """Per-shape static inputs for the ``lane_wire`` executable: the y
+        permutation into lane consumption order (family-specific; the same
+        order the host serializers build with numpy), the y/z encode grids,
+        and the lane counts.  Cached as device arrays per latent shape."""
+        key = (yH, yW, zH, zW)
+        if key in self._lane_enc_cache:
+            return self._lane_enc_cache[key]
+        from ..ops.device_rans import encode_grid
+
+        ylen = yH * yW * self.yC
+        zlen = zH * zW * self.zC
+        is_charm = (self.use_charm
+                    and self.context_type == "Minnen20CharmContextModel")
+        if is_charm:
+            # slice-major: for each slice, [h, w, sc] C-order
+            ns, sc = self.num_slices, self.slice_ch
+            perm = np.arange(ylen, dtype=np.int32) \
+                .reshape(yH, yW, ns, sc).transpose(2, 0, 1, 3).reshape(-1)
+            off = np.arange(ns + 1, dtype=np.int64) * (yH * yW * sc)
+        elif self._is_checkerboard:
+            # per slice: anchors then non-anchors, cell-major with channels
+            # contiguous (the gather order of cb_a_dev / cb_b_dev)
+            a_ids, na_ids = self._cb_ids(yH, yW)
+            ns, sc = self.num_slices, self.slice_ch
+            parts, off = [], [0]
+            for s in range(ns):
+                for ids in (a_ids, na_ids):
+                    parts.append((ids[:, None].astype(np.int64) * self.yC
+                                  + s * sc + np.arange(sc)[None, :])
+                                 .reshape(-1))
+                    off.append(off[-1] + ids.size * sc)
+            perm = np.concatenate(parts).astype(np.int32)
+            off = np.asarray(off, np.int64)
+        else:
+            perm = np.arange(ylen, dtype=np.int32)
+            off = np.asarray([0, ylen], np.int64)
+        k_y = self._lane_k(int(off[1] - off[0]))
+        k_z = self._lane_k(zlen)
+        put = lambda a: jax.device_put(a, self._dev)  # noqa: E731
+        statics = (put(perm), put(encode_grid(off, k_y)),
+                   put(encode_grid([0, zlen], k_z)))
+        self._lane_enc_cache[key] = statics
+        return statics
+
+    def _lane_wire_dev(self, wire_dev: Array, N: int, yH: int, yW: int,
+                       zH: int, zW: int, timing: Dict[str, float]):
+        """Device-side lane encode of the packed int16 wire.  Returns
+        ``(y_strs, z_strs, meta [N, 3] f32)`` — or ``None`` when an image's
+        escape count exceeds ``device_wire_fixup_cap`` (the caller falls
+        back to the host coder, which grows its fixup buffer instead of
+        recompiling the fixed-shape device program)."""
+        import time as _time
+
+        from ..runtime.lane_rans import pack_lane_container
+
+        t0 = _time.perf_counter()
+        perm_d, grid_y, grid_z = self._lane_wire_statics(yH, yW, zH, zW)
+        ytab, ztab = self._ytab(), self._ztab()
+        out = self._codec_fn("lane_wire")(
+            wire_dev, perm_d, grid_y, grid_z,
+            ytab["cdf"], ytab["len"], ytab["off"],
+            ztab["cdf"], ztab["len"], ztab["off"])
+        (yw, yl, yfp, yfv, yne,
+         zw, zl, zfp, zfv, zne, meta16) = jax.device_get(out)
+        cap = self.device_wire_fixup_cap
+        if (yne > cap).any() or (zne > cap).any():
+            return None
+        timing["device_encode_s"] = \
+            timing.get("device_encode_s", 0.0) + _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        meta = np.ascontiguousarray(meta16).view(np.float32)
+
+        def _containers(w, l, fp, fv, ne):
+            out = []
+            for i in range(N):
+                f = int(ne[i])
+                out.append(pack_lane_container(
+                    w[i], l[i].astype(np.int32),
+                    fp[i, :f].astype(np.int64), fv[i, :f]))
+            return out
+
+        res = (_containers(yw, yl, yfp, yfv, yne),
+               _containers(zw, zl, zfp, zfv, zne), meta)
+        timing["host_rans_s"] = _time.perf_counter() - t0
+        return res
+
     def _lane_serialize(self, sym_l: np.ndarray, idx_l: np.ndarray,
                         slice_off: np.ndarray, codec=None) -> List[bytes]:
         """Device-wire serialization: lane-encode pre-flattened
@@ -1531,12 +1687,7 @@ class BaseModel:
         from ..runtime.lane_rans import lane_encode, pack_lane_container
 
         codec = codec or self.codec_y
-        m = int(slice_off[1] - slice_off[0])  # symbols per round
-        # lane count: the config value, auto-reduced for small latents so the
-        # fixed per-lane cost (2 state words + a u16 length) stays a few
-        # percent of the stream; the decoder reads K from the container.
-        k = min(self.device_wire_lanes,
-                max(8, 1 << max(0, (m // 64).bit_length() - 1)))
+        k = self._lane_k(int(slice_off[1] - slice_off[0]))
         sym_l = sym_l.astype(np.int32)
         idx_l = idx_l.astype(np.int32)
 

@@ -153,8 +153,9 @@ def lane_encode_rounds(sym: Array, idx: Array, grid, cdf: Array,
     :func:`lane_decode_round`, producing the same streams as the host
     ``runtime/lane_rans.lane_encode`` (C++), byte for byte.
 
-    sym/idx: [N, M] int32 in flat lane-consumption order; grid: the static
-    [T, K] position grid from :func:`encode_grid`; cdf [R, L] / cdf_len [R]
+    sym/idx: [N, M] int32 in flat lane-consumption order; grid: the [T, K]
+    position grid from :func:`encode_grid` (numpy or device array — only
+    its shape is trace-relevant); cdf [R, L] / cdf_len [R]
     / offset [R]: int32 tables.  Returns ``(words [N, K, T+2] uint16,
     lens [N, K] int32, fix_pos [N, F] int32, fix_val [N, F] int32,
     n_esc [N] int32)`` — ``words[n, k, :lens[n, k]]`` is lane k's stream
@@ -169,8 +170,6 @@ def lane_encode_rounds(sym: Array, idx: Array, grid, cdf: Array,
     reverse ``lax.scan`` encodes last-symbol-first exactly like the C++
     coder; ascending grid order then equals the decoder's read order.
     """
-    import numpy as np
-
     n, m = sym.shape
     t_steps, k = grid.shape
     sym = sym.astype(jnp.int32)
@@ -189,8 +188,9 @@ def lane_encode_rounds(sym: Array, idx: Array, grid, cdf: Array,
     freq = jnp.take(cdf_flat, flat + 1, axis=0) - low
 
     # lane grids [T, N, K]
-    gpos = jnp.asarray(np.maximum(grid, 0).reshape(-1))
-    active = jnp.asarray(grid >= 0)  # [T, K]
+    grid = jnp.asarray(grid)
+    gpos = jnp.maximum(grid, 0).reshape(-1)
+    active = grid >= 0  # [T, K]
 
     def to_grid(x):
         g = jnp.take(x, gpos, axis=1).reshape(n, t_steps, k)

@@ -224,6 +224,63 @@ def test_device_wire_checkerboard_matches_compressai():
     np.testing.assert_array_equal(f_ref, f_dev)
 
 
+def _ab_opt(family):
+    if family == "charm":
+        opt = tiny_opt()
+    elif family == "cb":
+        opt = _cb_opt()
+    else:
+        opt = tiny_opt("HyperpriorModel", charm=False, rate=False, beta=False)
+    opt["wire_format"] = "device"
+    opt["device_wire_lanes"] = 16
+    return opt
+
+
+@pytest.mark.parametrize("family", ["charm", "generic", "cb"])
+def test_device_encoder_matches_host_encoder(family):
+    """The on-device lane encoder (device_wire_encoder: device, the
+    default) must emit byte-identical containers to the threaded C++ host
+    coder — the placement is a pure perf knob, never a format one."""
+    rate = None if family == "generic" else 1.0
+    encs = {}
+    for enc_kind in ("device", "host"):
+        opt = _ab_opt(family)
+        opt["device_wire_encoder"] = enc_kind
+        model = build_comp_model(opt)
+        model.init_params(input_size=64)  # same seed -> same params
+        model.codec_setup()
+        assert model.device_wire_encoder == enc_kind
+        x = np.random.default_rng(23).uniform(-1, 1, (2, 64, 64, 3)) \
+            .astype(np.float32)
+        encs[enc_kind] = model.compress_batch(x, rate_ind=rate)
+    for e_dev, e_host in zip(encs["device"], encs["host"]):
+        assert e_dev["string_list"] == e_host["string_list"]
+        assert e_dev["pred_y_bit"] == pytest.approx(e_host["pred_y_bit"])
+
+
+def test_device_encoder_overflow_falls_back_to_host(monkeypatch):
+    """When the device encoder reports more escapes than the fixed fixup
+    capacity (returns None), compress transparently re-encodes on the host
+    — same bytes, no error."""
+    opt = _ab_opt("charm")
+    model = build_comp_model(opt)
+    model.init_params(input_size=64)
+    model.codec_setup()
+    x = np.random.default_rng(29).uniform(-1, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    enc_dev = model.compress(x, rate_ind=1.0)
+    calls = {"n": 0}
+
+    def overflowing(*a, **kw):
+        calls["n"] += 1
+        return None  # what _lane_wire_dev returns on fixup overflow
+
+    monkeypatch.setattr(model, "_lane_wire_dev", overflowing)
+    enc_host = model.compress(x, rate_ind=1.0)
+    assert calls["n"] == 1
+    assert enc_host["string_list"] == enc_dev["string_list"]
+
+
 def test_device_wire_stream_size_tracks_prediction(device_wire_model):
     """Lane overhead (per-lane state flush + lens) is bounded: real bits
     within ~25% + fixed slack of predicted on the tiny model."""
