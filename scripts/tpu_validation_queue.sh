@@ -23,6 +23,13 @@ ENV_EXTRA=()
 #    on by default).  First compile ~2-4 min, cached after.
 run bench_throughput 1500 python bench.py
 
+# 1b. Device-wire encoder placement A/B: the on-device lane coder (default)
+#     vs the threaded host C++ coder.  Bytes are identical (tested); this
+#     isolates the wall-clock effect of host-free encode + smaller d2h.
+ENV_EXTRA=(CRDR_DEVICE_ENC=host)
+run bench_hostenc 1200 python bench.py
+ENV_EXTRA=()
+
 # 2. Fastchain A/B: whole codec chain at default precision (bf16-capable).
 ENV_EXTRA=(CRDR_BENCH_CONFIG=crdr_fastchain.yaml)
 run bench_fastchain 1200 python bench.py
