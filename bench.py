@@ -30,6 +30,18 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
 
 
+def _honor_platform_env() -> None:
+    """The axon sitecustomize force-sets ``jax_platforms="axon,cpu"``,
+    silently overriding the JAX_PLATFORMS env var.  Re-apply the env var via
+    jax.config (the conftest trick) so ``JAX_PLATFORMS=cpu bench.py`` really
+    runs on CPU — required for the CRDR_BENCH_TINY CPU smoke leg."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and want != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def _require_backend(timeout_s: float) -> None:
     """Bound JAX backend init: the TPU relay, when unhealthy, can hang
     ``jax.devices()`` forever (observed 2026-08-18 — 20+ min).  Probe it in
@@ -77,10 +89,17 @@ def main():
     H, W = 512, 768  # Kodak landscape
     BATCH = int(os.environ.get("CRDR_BENCH_BATCH", "8"))
     cfg_name = os.environ.get("CRDR_BENCH_CONFIG", "crdr_throughput.yaml")
+    # CRDR_BENCH_TINY=1: shrunken model + image — NOT a valid measurement,
+    # just a CPU-runnable smoke of the full bench code path (all legs), so
+    # bench regressions are catchable without TPU access
+    tiny = os.environ.get("CRDR_BENCH_TINY", "0") == "1"
+    if tiny:
+        H, W, BATCH = 128, 192, min(BATCH, 2)
+    _honor_platform_env()
     _require_backend(float(os.environ.get("CRDR_BENCH_INIT_TIMEOUT", "600")))
-    print(f"bench: building model ({cfg_name})...", file=sys.stderr,
-          flush=True)
-    model = _flagship_model(tiny=False, config_name=cfg_name)
+    print(f"bench: building model ({cfg_name}, tiny={tiny})...",
+          file=sys.stderr, flush=True)
+    model = _flagship_model(tiny=tiny, config_name=cfg_name)
     model.codec_setup()
     rng = np.random.default_rng(0)
     # uint8 pixels: the real codec input (decoded PNG), and the dtype the
@@ -154,7 +173,7 @@ def main():
     # is one uninterrupted async dispatch chain (1 blocking sync instead of
     # num_slices+1).  Reported as extra keys; the headline metric keeps the
     # round-2 protocol for cross-round comparability.
-    lat1_dev = mpix_dev = None
+    lat1_dev = mpix_dev = mpix_dev_pipe = None
     if os.environ.get("CRDR_BENCH_DEVICE_WIRE", "1") == "1":
         print("bench: device-wire legs...", file=sys.stderr, flush=True)
         model.wire_format = "device"
@@ -165,6 +184,18 @@ def main():
             model.decompress_batch([e["string_list"] for e in encs],
                                    beta=2.56)
             mpix_dev = BATCH * (H * W) / (time.perf_counter() - t0) / 1e6
+            # pipelined leg (same overlap schedule as the headline metric)
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(model.compress_batch, imgs, 2.0)
+                for k in range(3):
+                    encs = fut.result()
+                    if k + 1 < 3:
+                        fut = ex.submit(model.compress_batch, imgs, 2.0)
+                    model.decompress_batch(
+                        [e["string_list"] for e in encs], beta=2.56)
+            mpix_dev_pipe = BATCH * (H * W) / ((time.perf_counter() - t0)
+                                               / 3) / 1e6
             latd = []
             for i in range(4):
                 t0 = time.perf_counter()
@@ -173,8 +204,8 @@ def main():
                 latd.append(time.perf_counter() - t0)
             lat1_dev = float(np.median(latd[1:]))
             print(f"bench: device-wire batch={BATCH} serial "
-                  f"{mpix_dev:.3f} Mpix/s | batch=1 latency "
-                  f"{lat1_dev * 1e3:.0f} ms "
+                  f"{mpix_dev:.3f} / pipelined {mpix_dev_pipe:.3f} Mpix/s "
+                  f"| batch=1 latency {lat1_dev * 1e3:.0f} ms "
                   f"dec={model.last_decode_timing}",
                   file=sys.stderr, flush=True)
         finally:
@@ -211,6 +242,7 @@ def main():
         "batch1_latency_ms": round(lat1 * 1e3, 1),
         "batch1_mpix_s": round(mpix_1, 4),
         **({"device_wire_serial_mpix_s": round(mpix_dev, 4),
+            "device_wire_pipelined_mpix_s": round(mpix_dev_pipe, 4),
             "device_wire_batch1_latency_ms": round(lat1_dev * 1e3, 1)}
            if lat1_dev is not None else {}),
     }))
