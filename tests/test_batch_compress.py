@@ -53,7 +53,10 @@ def test_decompress_batch_matches_single():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_decompress_batch_rejects_mixed_rate():
+def test_decompress_batch_mixed_rate_matches_single():
+    """Mixed operating points per batch (round-3 capability: rate indexes
+    ride each header and InterpCA broadcasts a per-image [N] rate vector)
+    must reproduce the per-image decompress outputs exactly."""
     model = build_comp_model(tiny_opt())
     model.init_params(input_size=64)
     model.codec_setup()
@@ -61,5 +64,12 @@ def test_decompress_batch_rejects_mixed_rate():
     batch = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
     e0 = model.compress(batch[0:1], rate_ind=0.0)
     e1 = model.compress(batch[1:2], rate_ind=2.0)
-    with pytest.raises(AssertionError, match="rate index"):
-        model.decompress_batch([e0["string_list"], e1["string_list"]])
+    lists = [e0["string_list"], e1["string_list"]]
+    fake_b, _, y_b = model.decompress_batch(lists)
+    for i, enc in enumerate(lists):
+        fake_s, _, y_s = model.decompress(enc)
+        np.testing.assert_allclose(np.asarray(y_b)[i], np.asarray(y_s)[0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fake_b)[i],
+                                   np.asarray(fake_s)[0],
+                                   rtol=1e-4, atol=1e-4)
