@@ -56,19 +56,37 @@ class MultiRateHeaderHandler(HeaderHandler):
         return out
 
 
+def pack_byte_strings(string_list: List[bytes]) -> bytes:
+    """In-memory `.bin` container: per string, uint32-LE length + raw bytes
+    (identical to the on-disk layout, so packed blobs and files
+    interoperate)."""
+    parts = []
+    for s in string_list:
+        parts.append(np.uint32(len(s)).tobytes())
+        parts.append(s)
+    return b"".join(parts)
+
+
+def unpack_byte_strings(data: bytes) -> List[bytes]:
+    out: List[bytes] = []
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated container: dangling length prefix")
+        length = int(np.frombuffer(data[pos:pos + 4], dtype=np.uint32)[0])
+        pos += 4
+        if pos + length > len(data):
+            raise ValueError("truncated container: string exceeds payload")
+        out.append(data[pos:pos + length])
+        pos += length
+    return out
+
+
 def save_byte_strings(save_path: str, string_list: List[bytes]) -> None:
     with open(save_path, "wb") as f:
-        for s in string_list:
-            f.write(np.array(len(s), dtype=np.uint32).tobytes())
-            f.write(s)
+        f.write(pack_byte_strings(string_list))
 
 
 def load_byte_strings(load_path: str) -> List[bytes]:
-    out: List[bytes] = []
     with open(load_path, "rb") as f:
-        head = f.read(4)
-        while head != b"":
-            length = int(np.frombuffer(head, dtype=np.uint32)[0])
-            out.append(f.read(length))
-            head = f.read(4)
-    return out
+        return unpack_byte_strings(f.read())
