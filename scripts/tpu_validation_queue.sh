@@ -48,7 +48,13 @@ run rd_fastchain 2400 python scripts/rd_sweep.py config/crdr_fastchain.yaml \
     --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
     --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/rd_fastchain
 
-# 5. CLI surface sanity (compress+decompress roundtrip on the demo set).
+# 5. Serving daemon under concurrent mixed-quality load (HTTP + micro-batch
+#    coalescing): one JSON line with req/s, p50 latencies, batch histogram.
+run serve_smoke 1500 python scripts/serve_smoke.py config/crdr_throughput.yaml \
+    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --img_dir /root/reference/demo_images --clients 8 --rounds 3
+
+# 6. CLI surface sanity (compress+decompress roundtrip on the demo set).
 run cli_roundtrip 1200 python scripts/compress.py config/crdr_throughput.yaml \
     --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
     --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/cli_out \
