@@ -91,6 +91,11 @@ class BaseModel:
         self.codec_y: Optional[GaussianConditionalCodec] = None
         self.header_handler = None
         self._jit_cache: Dict[str, Any] = {}
+        # AOT serving hooks (runtime/aot.py): every codec program registers
+        # through _register_exe so its dispatches can be recorded for
+        # jax.export and later served from a package without re-tracing
+        self._aot_package = None
+        self._aot_recorder = None
         self._cb_ids_cache: Dict[Tuple[int, int], Tuple[np.ndarray,
                                                         np.ndarray]] = {}
         # context-model geometry / kind
@@ -241,8 +246,17 @@ class BaseModel:
                 summary = _rate_summary(out, num_pixel)
                 return out, summary
 
-            self._jit_cache[key] = jax.jit(fn)
+            self._register_exe(key, jax.jit(fn))
         return self._jit_cache[key]
+
+    def _register_exe(self, name: str, jit_fn):
+        """Install a named device program behind an AOT-capable dispatch
+        point (runtime/aot.py ExeDispatch: record / exported-program /
+        live-jit selection)."""
+        from ..runtime.aot import ExeDispatch
+
+        self._jit_cache[name] = ExeDispatch(self, name, jit_fn)
+        return self._jit_cache[name]
 
     def forward(self, real_images, rate_ind=None, beta=None,
                 is_train: bool = True, num_pixel: Optional[int] = None):
@@ -1031,8 +1045,7 @@ class BaseModel:
             with _precision_scope(prec):
                 return fn(*args)
 
-        self._jit_cache[name] = jax.jit(wrapped)
-        return self._jit_cache[name]
+        return self._register_exe(name, jax.jit(wrapped))
 
     # ---------------- compress / decompress ---------------------------------
 
@@ -2005,9 +2018,8 @@ class BaseModel:
             # (the scale table has < 256 entries)
             return y_prev, support, mu, sigma, indexes.astype(jnp.uint8)
 
-        self._jit_cache["charm_uniform"] = jax.jit(
-            fn, donate_argnums=(4,))
-        return self._jit_cache["charm_uniform"]
+        return self._register_exe("charm_uniform",
+                                  jax.jit(fn, donate_argnums=(4,)))
 
     def _checkerboard_decompress(self, y_str: bytes,
                                  z16: Array) -> Tuple[np.ndarray, Array]:

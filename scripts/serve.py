@@ -44,6 +44,10 @@ def parse_args(argv=None):
                     help="default beta when the request omits ?beta=")
     ap.add_argument("--wire", choices=["host", "device"], default=None,
                     help="override the bitstream wire format")
+    ap.add_argument("--aot_package", default=None,
+                    help="AOT serving package (scripts/export_serving.py): "
+                         "matching requests run the exported programs "
+                         "without tracing")
     return ap.parse_args(argv)
 
 
@@ -63,6 +67,12 @@ def build_model(args):
     model.codec_setup()
     if args.wire:
         model.wire_format = args.wire
+    if getattr(args, "aot_package", None):
+        from crdr_tpu.runtime.aot import load_package
+
+        pkg = load_package(model, args.aot_package, logger=logger)
+        logger.info(f"aot package: {len(pkg.manifest['entries'])} programs "
+                    f"({args.aot_package})")
     return model
 
 
