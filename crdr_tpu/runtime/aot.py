@@ -54,6 +54,24 @@ def _key_str(name: str, args: Tuple) -> str:
     return repr((name, str(treedef), tuple(_leaf_sig(l) for l in leaves)))
 
 
+def _cheap_sig(x, pinned: Optional[Dict[int, Any]] = None) -> Tuple:
+    """Near-zero-cost dispatch signature: array leaves by (shape, dtype),
+    containers structurally, dicts by identity (param/table dicts are
+    stable objects across serving calls — they are replaced wholesale, not
+    mutated, when weights change).  ``pinned`` accumulates every dict seen
+    so its id cannot be recycled.  Used only to memoize the full
+    ``_key_str`` lookup; the full key is what actually gates an AOT hit."""
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return (tuple(x.shape), str(x.dtype))
+    if isinstance(x, (tuple, list)):
+        return (type(x).__name__,) + tuple(_cheap_sig(v, pinned) for v in x)
+    if isinstance(x, dict):
+        if pinned is not None:
+            pinned.setdefault(id(x), x)
+        return ("dict-id", id(x))
+    return ("py", type(x).__name__)
+
+
 class ExeDispatch:
     """One named codec device program: the live jitted callable, plus an
     optional AOT-exported replacement matched on the call signature.
@@ -64,12 +82,27 @@ class ExeDispatch:
         self.name = name
         self.jit_fn = jit_fn
         self.aot_hits = 0
+        # cheap-sig -> exported call | None (miss), so the steady-state hot
+        # path never re-flattens the params pytree; pinned dicts keep the
+        # id()-keyed entries valid
+        self._sig_cache: Dict[Tuple, Optional[Callable]] = {}
+        self._pinned: Dict[int, Any] = {}
+
+    def _aot_call(self, pkg, args) -> Optional[Callable]:
+        sig = _cheap_sig(args, self._pinned)
+        try:
+            return self._sig_cache[sig]
+        except KeyError:
+            pass
+        call = pkg.lookup(self.name, args)
+        self._sig_cache[sig] = call
+        return call
 
     def __call__(self, *args):
         owner = self._owner
         pkg = owner._aot_package
         if pkg is not None:
-            call = pkg.lookup(self.name, args)
+            call = self._aot_call(pkg, args)
             if call is not None:
                 self.aot_hits += 1
                 return call(*args)
@@ -154,7 +187,7 @@ def export_package(model, out_dir: str,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "model_class": type(model).__name__,
-        "wire_format": getattr(model, "wire_format", "host"),
+        "wire_format": getattr(model, "wire_format", "compressai"),
         "entries": entries,
         "skipped": skipped,
     }
@@ -192,7 +225,7 @@ def load_package(model, path: str, logger=None) -> AotPackage:
     man = pkg.manifest
     for field, have in (("model_class", type(model).__name__),
                         ("wire_format", getattr(model, "wire_format",
-                                                "host")),
+                                                "compressai")),
                         ("jax_version", jax.__version__)):
         want = man.get(field)
         if want != have and logger:

@@ -168,14 +168,19 @@ class MicroBatcher:
             if group is None:
                 return
             t0 = time.perf_counter()
+            def _resolve(fut, setter, value):
+                try:  # per-future: a caller-cancelled future must not
+                    setter(fut, value)  # poison its co-batched neighbours
+                except Exception:
+                    pass
+
             try:
                 results = self._dispatch(group)
                 for req, res in zip(group, results):
-                    req.future.set_result(res)
+                    _resolve(req.future, Future.set_result, res)
             except BaseException as e:  # resolve every waiter, never hang
                 for req in group:
-                    if not req.future.done():
-                        req.future.set_exception(e)
+                    _resolve(req.future, Future.set_exception, e)
             with self._lock:
                 n = len(group)
                 self._stats["batches"] += 1
@@ -186,13 +191,11 @@ class MicroBatcher:
 
     # ------------------------------------------------------------- dispatch
 
-    def _cond_vector(self, group: List[_Req]) -> Optional[Any]:
-        """Per-request conditioning values -> scalar (uniform), [N] vector
-        (mixed), or None (every request left it unset)."""
-        vals = [r.cond for r in group]
-        if all(v is None for v in vals):
-            return None
-        filled = [0.0 if v is None else float(v) for v in vals]
+    def _cond_vector(self, group: List[_Req]) -> Any:
+        """Per-request conditioning values -> scalar (uniform) or [N]
+        vector (mixed).  An unset value is ALWAYS 0.0 — fixed per request,
+        never dependent on what the request happened to batch with."""
+        filled = [0.0 if r.cond is None else float(r.cond) for r in group]
         if all(v == filled[0] for v in filled):
             return filled[0]
         return np.asarray(filled, np.float32)
@@ -203,12 +206,12 @@ class MicroBatcher:
         if group[0].kind == "compress":
             imgs = np.stack([r.payload for r in group])
             kwargs = {}
-            if getattr(model, "use_rate", False) and cond is not None:
+            if getattr(model, "use_rate", False):
                 kwargs["rate_ind"] = cond
             return model.compress_batch(imgs, **kwargs)
         # decompress
         kwargs = {}
-        if getattr(model, "use_beta", False) and cond is not None:
+        if getattr(model, "use_beta", False):
             kwargs["beta"] = cond
         fake, _, _ = model.decompress_batch(
             [r.payload for r in group], **kwargs)

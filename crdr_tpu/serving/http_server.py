@@ -37,15 +37,15 @@ from .batcher import MicroBatcher
 __all__ = ["make_server", "CodecHTTPServer"]
 
 
-def _png_to_float(data: bytes) -> np.ndarray:
-    """Decode image bytes -> [-1,1] float32 HWC RGB (the codec input
-    convention, ``img_utils.imread``)."""
+def _png_to_uint8(data: bytes) -> np.ndarray:
+    """Decode image bytes -> uint8 HWC RGB.  Raw uint8 is the codec's
+    preferred input: the fused encode converts on device, so the h2d
+    transfer stays 4x smaller than float32 and the 1-CPU host does no
+    pixel math."""
     from PIL import Image
 
-    from ..utils.img_utils import uint8_to_tensor
-
     img = Image.open(io.BytesIO(data)).convert("RGB")
-    return uint8_to_tensor(np.asarray(img, np.uint8))
+    return np.asarray(img, np.uint8)
 
 
 def _uint8_to_png(arr: np.ndarray) -> bytes:
@@ -85,6 +85,7 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, body: bytes, ctype: str, extra=None):
+        self._responded = True
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -110,7 +111,8 @@ class _Handler(BaseHTTPRequestHandler):
             info = {
                 "status": "ok",
                 "model": type(srv.model).__name__,
-                "wire_format": getattr(srv.model, "wire_format", "host"),
+                "wire_format": getattr(srv.model, "wire_format",
+                                       "compressai"),
                 "devices": [str(d) for d in jax.devices()],
                 "batcher": srv.batcher.stats(),
             }
@@ -122,6 +124,9 @@ class _Handler(BaseHTTPRequestHandler):
         srv: CodecHTTPServer = self.server  # type: ignore[assignment]
         url = urlparse(self.path)
         qs = parse_qs(url.query)
+        self._responded = False
+        body = self._body()  # always drain: keep-alive framing must not
+        # desync when the route/handler errors before consuming it
 
         def _param(name, default):
             if name in qs:
@@ -130,24 +135,30 @@ class _Handler(BaseHTTPRequestHandler):
 
         try:
             if url.path == "/compress":
-                img = _png_to_float(self._body())
+                img = _png_to_uint8(body)
                 rate = _param("q", srv.default_q)
                 enc = srv.batcher.compress(img, rate_ind=rate)
                 blob = pack_byte_strings(enc["string_list"])
                 bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
                 self._send(200, blob, "application/octet-stream", {
                     "X-CRDR-BPP": f"{bpp:.6f}",
-                    "X-CRDR-Wire": getattr(srv.model, "wire_format", "host"),
+                    "X-CRDR-Wire": getattr(srv.model, "wire_format",
+                                           "compressai"),
                 })
             elif url.path == "/decompress":
-                strings = unpack_byte_strings(self._body())
+                strings = unpack_byte_strings(body)
                 beta = _param("beta", srv.default_beta)
                 img = srv.batcher.decompress(strings, beta=beta)
                 self._send(200, _uint8_to_png(img), "image/png")
             else:
                 self._err(404, f"no route {url.path}")
         except Exception as e:  # surface codec errors as 400s, keep serving
-            self._err(400, f"{type(e).__name__}: {e}")
+            if self._responded:
+                # response already (partially) written — a second one would
+                # corrupt the stream; drop the connection instead
+                self.close_connection = True
+            else:
+                self._err(400, f"{type(e).__name__}: {e}")
 
 
 def make_server(model, host: str = "127.0.0.1", port: int = 8080,

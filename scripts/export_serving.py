@@ -34,7 +34,7 @@ def main(argv=None):
                     help="lowering targets (comma list)")
     ap.add_argument("-q", "--quality", type=float, default=0.0)
     ap.add_argument("-b", "--beta", type=float, default=0.0)
-    ap.add_argument("--wire", choices=["host", "device"], default=None)
+    ap.add_argument("--wire", choices=["compressai", "device"], default=None)
     args = ap.parse_args(argv)
 
     # honor JAX_PLATFORMS over the axon sitecustomize override (CPU exports)

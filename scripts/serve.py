@@ -42,7 +42,7 @@ def parse_args(argv=None):
                     help="default rate_ind when the request omits ?q=")
     ap.add_argument("-b", "--beta", type=float, default=None,
                     help="default beta when the request omits ?beta=")
-    ap.add_argument("--wire", choices=["host", "device"], default=None,
+    ap.add_argument("--wire", choices=["compressai", "device"], default=None,
                     help="override the bitstream wire format")
     ap.add_argument("--aot_package", default=None,
                     help="AOT serving package (scripts/export_serving.py): "
@@ -56,7 +56,7 @@ def build_model(args):
     from crdr_tpu.runtime.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = Config.fromfile(args.config)
+    cfg = Config.from_file(args.config)
     model = build_comp_model(cfg)
     logger = get_root_logger()
     if args.model_path:

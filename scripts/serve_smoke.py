@@ -71,7 +71,8 @@ def main(argv=None):
         assert paths, f"no images in {args.img_dir}"
         imgs = [np.asarray(Image.open(p).convert("RGB"), np.uint8)
                 for p in paths]
-    model.codec_setup()
+    if args.tiny:
+        model.codec_setup()  # build_model already ran it in the real path
 
     srv = make_server(model, port=0, max_batch=args.max_batch,
                       max_wait_s=args.max_wait_ms / 1e3, default_beta=0.0)
@@ -94,21 +95,26 @@ def main(argv=None):
     _post(base + "/decompress", _post(base + "/compress?q=0.0", bodies[0]))
 
     lat_c, lat_d = [], []
+    errors = []
     lock = threading.Lock()
 
     def client(i):
         body = bodies[i % len(bodies)]
         q = float(i % 3)
-        for _ in range(args.rounds):
-            t0 = time.perf_counter()
-            blob = _post(base + f"/compress?q={q}", body)
-            t1 = time.perf_counter()
-            png = _post(base + "/decompress?beta=0.0", blob)
-            t2 = time.perf_counter()
-            assert png[:4] == b"\x89PNG"
-            with lock:
-                lat_c.append(t1 - t0)
-                lat_d.append(t2 - t1)
+        try:
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                blob = _post(base + f"/compress?q={q}", body)
+                t1 = time.perf_counter()
+                png = _post(base + "/decompress?beta=0.0", blob)
+                t2 = time.perf_counter()
+                assert png[:4] == b"\x89PNG", "response is not a PNG"
+                with lock:
+                    lat_c.append(t1 - t0)
+                    lat_d.append(t2 - t1)
+        except Exception as e:  # propagate to main: a failed request must
+            with lock:          # fail the smoke, not skew its numbers
+                errors.append(f"client {i}: {type(e).__name__}: {e}")
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client, args=(i,))
@@ -119,6 +125,10 @@ def main(argv=None):
         t.join()
     wall = time.perf_counter() - t0
     srv.shutdown()
+    if errors:
+        print(json.dumps({"error": errors[:5],
+                          "failed_clients": len(errors)}))
+        sys.exit(1)
 
     st = srv.batcher.stats()
     n_req = len(lat_c) + len(lat_d)

@@ -28,7 +28,7 @@ class FakeModel:
 
     use_rate = True
     use_beta = True
-    wire_format = "host"
+    wire_format = "compressai"
 
     def __init__(self, dispatch_sleep=0.0, fail=False):
         self.header_handler = FakeHeaderHandler()
@@ -145,6 +145,37 @@ def test_batcher_respects_max_batch():
     assert max(sizes) <= 2 and sum(sizes) == 5
 
 
+def test_batcher_unset_cond_is_fixed_default():
+    """A request that leaves q/beta unset must get 0.0 — the SAME value
+    whether it dispatches alone or coalesces with other requests."""
+    model = FakeModel()
+    b = MicroBatcher(model, max_batch=4, max_wait_s=0.2)
+    img = np.zeros((8, 8, 3), np.uint8)
+    # alone: explicit scalar 0.0 reaches the model (never None/NaN)
+    b.compress(img)
+    assert model.calls[-1] == ("c", (1, 8, 8, 3), 0.0)
+    # coalesced with q=2.0: the unset request stays 0.0 in the vector
+    futs = [b.submit_compress(img, 2.0), b.submit_compress(img, None)]
+    for f in futs:
+        f.result(timeout=10)
+    b.close()
+    mixed = model.calls[-1]
+    np.testing.assert_array_equal(mixed[2], np.asarray([2.0, 0.0],
+                                                       np.float32))
+
+
+def test_batcher_cancelled_future_does_not_poison_group():
+    model = FakeModel(dispatch_sleep=0.1)
+    b = MicroBatcher(model, max_batch=4, max_wait_s=0.2)
+    img = np.zeros((8, 8, 3), np.uint8)
+    futs = [b.submit_compress(img, 0.0) for _ in range(3)]
+    futs[0].cancel()  # pending future: cancel always wins the race here
+    # the co-batched neighbours must still receive their results
+    assert futs[1].result(timeout=10)["string_list"][2] in (b"y0", b"y1")
+    assert futs[2].result(timeout=10)
+    b.close()
+
+
 # ----------------------------------------------------------------- container
 
 def test_pack_unpack_roundtrip_and_truncation():
@@ -190,7 +221,7 @@ def test_http_routes_with_fake_model():
         status, headers, blob = _post(base + "/compress?q=1.0",
                                       _png_bytes(img))
         assert status == 200
-        assert headers["X-CRDR-Wire"] == "host"
+        assert headers["X-CRDR-Wire"] == "compressai"
         assert unpack_byte_strings(blob)[2] == b"y0"
 
         status, headers, png = _post(base + "/decompress?beta=2.56", blob)
@@ -217,7 +248,50 @@ def test_http_routes_with_fake_model():
         srv.shutdown()
 
 
+def test_http_keepalive_survives_404_with_body():
+    """A POST body to an unknown route must be drained, or the next request
+    on the same keep-alive connection desyncs."""
+    import http.client
+
+    srv, base = _start_server(FakeModel(), max_wait_s=0.01)
+    try:
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        body = b"X" * 4096
+        conn.request("POST", "/no_such_route", body=body)
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same connection: must parse cleanly as a fresh request
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["status"] == "ok"
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
 # ------------------------------------------------------------ real-model e2e
+
+@pytest.mark.slow
+def test_serve_build_model_from_config(tmp_path):
+    """scripts/serve.py build_model must work end-to-end from a config FILE
+    (regression: it once called a nonexistent Config.fromfile and every
+    serving CLI crashed at startup)."""
+    import yaml
+
+    from scripts.serve import build_model, parse_args
+    from tests.test_comp_model import tiny_opt
+
+    cfg_path = tmp_path / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(json.loads(json.dumps(tiny_opt())), f)
+    args = parse_args([str(cfg_path), "--wire", "device"])
+    model = build_model(args)
+    assert model.wire_format == "device"
+    assert model.codec_y is not None  # codec_setup ran
+
 
 @pytest.mark.slow
 def test_http_end_to_end_tiny_model():
