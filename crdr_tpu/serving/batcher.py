@@ -62,11 +62,24 @@ class MicroBatcher:
     """
 
     def __init__(self, model, max_batch: int = 8,
-                 max_wait_s: float = 0.01):
+                 max_wait_s: float = 0.01,
+                 batch_buckets: Optional[List[int]] = None):
         assert max_batch >= 1
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
+        # XLA compiles one program set per distinct batch size, so free-form
+        # group sizes (3, 5, 7, ...) would each pay a fresh multi-minute
+        # compile.  Groups are trimmed to the largest bucket that fits and
+        # the remainder requeued (it dispatches immediately — its window is
+        # already spent).  Default: powers of two up to max_batch.
+        if batch_buckets is None:
+            batch_buckets = [1 << i for i in range(self.max_batch.bit_length())
+                             if 1 << i <= self.max_batch]
+            if self.max_batch not in batch_buckets:
+                batch_buckets.append(self.max_batch)
+        assert 1 in batch_buckets, "bucket 1 is required as the fallback"
+        self.batch_buckets = sorted(set(int(b) for b in batch_buckets))
         self._q: deque[_Req] = deque()
         self._lock = threading.Lock()
         self._notify = threading.Condition(self._lock)
@@ -160,6 +173,13 @@ class MicroBatcher:
                 if remaining <= 0 or not self._running:
                     break
                 self._notify.wait(remaining)
+            # quantize to a compiled batch bucket; requeue the tail at the
+            # queue front (arrival order kept; it dispatches next round
+            # without waiting — its coalesce window is already spent)
+            bucket = max(b for b in self.batch_buckets if b <= len(group))
+            if bucket < len(group):
+                self._q.extendleft(reversed(group[bucket:]))
+                group = group[:bucket]
             return group
 
     def _run(self) -> None:

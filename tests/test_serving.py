@@ -133,6 +133,25 @@ def test_batcher_propagates_dispatch_errors_to_all_waiters():
         b.submit_compress(img, 0.0)
 
 
+def test_batcher_quantizes_group_sizes_to_buckets():
+    """Free-form group sizes would each compile a fresh XLA program set;
+    groups must land on the bucket grid (powers of two by default)."""
+    model = FakeModel()
+    b = MicroBatcher(model, max_batch=8, max_wait_s=0.25)
+    assert b.batch_buckets == [1, 2, 4, 8]
+    img = np.zeros((8, 8, 3), np.uint8)
+    futs = [b.submit_compress(img, 0.0) for _ in range(6)]
+    for f in futs:
+        f.result(timeout=10)
+    b.close()
+    sizes = sorted(c[1][0] for c in model.calls)
+    assert sizes == [2, 4], sizes
+    # non-power-of-two max_batch keeps itself as a bucket
+    b2 = MicroBatcher(FakeModel(), max_batch=6, max_wait_s=0.01)
+    assert b2.batch_buckets == [1, 2, 4, 6]
+    b2.close()
+
+
 def test_batcher_respects_max_batch():
     model = FakeModel(dispatch_sleep=0.05)
     b = MicroBatcher(model, max_batch=2, max_wait_s=0.2)
