@@ -30,6 +30,12 @@ ENV_EXTRA=(CRDR_DEVICE_ENC=host)
 run bench_hostenc 1200 python bench.py
 ENV_EXTRA=()
 
+# 1c. Batch=16 floor re-check (round-3 measured pipelined==serial there;
+#     confirms whether fastchain/Pallas move the compute floor).
+ENV_EXTRA=(CRDR_BENCH_BATCH=16)
+run bench_b16 1200 python bench.py
+ENV_EXTRA=()
+
 # 2. Fastchain A/B: whole codec chain at default precision (bf16-capable).
 ENV_EXTRA=(CRDR_BENCH_CONFIG=crdr_fastchain.yaml)
 run bench_fastchain 1200 python bench.py
