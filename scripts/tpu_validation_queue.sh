@@ -47,22 +47,34 @@ ENV_EXTRA=(CRDR_PALLAS=1)
 run bench_pallas 1200 python bench.py
 ENV_EXTRA=()
 
+# Legs 4-6 need a trained checkpoint.  Checkpoints are gitignored and do not
+# survive a filesystem reset; if the real-data one is absent, rebuild a short
+# cold-start equivalent first (config/real_stage2_short.yaml, ~2k steps,
+# ~12 min on the chip) and point the legs at it.
+CKPT=checkpoint/real_stage2/model/comp_model_iter5K.ckpt
+if [ ! -f "$CKPT" ]; then
+  CKPT=checkpoint/real_stage2_short/model/comp_model_iter2K.ckpt
+  if [ ! -f "$CKPT" ]; then
+    run train_short_ckpt 2400 python scripts/train.py config/real_stage2_short.yaml
+  fi
+fi
+
 # 4. RD delta of the fastchain on the trained real-data checkpoint — same
-#    ckpt as docs/artifacts/rd_real_bf16/rd_curve.csv (bf16 transforms + f32
-#    chain), so the diff isolates the chain precision.
+#    ckpt as the bf16-transform sweep leg below, so the diff isolates the
+#    chain precision.
 run rd_fastchain 2400 python scripts/rd_sweep.py config/crdr_fastchain.yaml \
-    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --model_path "$CKPT" \
     --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/rd_fastchain
 
 # 5. Serving daemon under concurrent mixed-quality load (HTTP + micro-batch
 #    coalescing): one JSON line with req/s, p50 latencies, batch histogram.
 run serve_smoke 1500 python scripts/serve_smoke.py config/crdr_throughput.yaml \
-    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --model_path "$CKPT" \
     --img_dir /root/reference/demo_images --clients 8 --rounds 3
 
 # 6. CLI surface sanity (compress+decompress roundtrip on the demo set).
 run cli_roundtrip 1200 python scripts/compress.py config/crdr_throughput.yaml \
-    --model_path checkpoint/real_stage2/model/comp_model_iter5K.ckpt \
+    --model_path "$CKPT" \
     --img_dir /root/reference/demo_images --save_dir /tmp/tpuval/cli_out \
     -q 1.0 -b 0.0 --decompress
 
