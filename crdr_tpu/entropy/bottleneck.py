@@ -205,9 +205,63 @@ class EntropyBottleneckCodec:
         pmf_length = maxima + minima + 1
         max_length = int(pmf_length.max())
 
-        samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
-            + pmf_start[:, None, None]
+        pmf, tail = self._pmf(pmf_start, max_length)
+
+        C = self.channels
+        cdf = np.zeros((C, max_length + 2), dtype=np.int32)
+        for c in range(C):
+            p = np.concatenate([pmf[c, :pmf_length[c]], [tail[c]]])
+            row = pmf_to_quantized_cdf(p.astype(np.float32), 16)
+            cdf[c, :len(row)] = row
+        self.quantized_cdf = cdf
+        self.cdf_length = (pmf_length + 2).astype(np.int32)
+        self.offset = (-minima).astype(np.int32)
+        return True
+
+    def _pmf(self, pmf_start: np.ndarray, max_length: int):
+        """PMF rows from the logits chain.  CompressAI evaluates this in torch
+        float32 (EntropyBottleneck.update); quantized CDFs are ulp-sensitive,
+        so reference-stream byte parity requires the same arithmetic — torch
+        when importable, the JAX f32 program otherwise
+        (tests/test_reference_source_parity.py::test_cdf_table_parity)."""
         nf = len(self.filters)
+        try:
+            import torch
+        except ImportError:
+            torch = None
+
+        if torch is not None:
+            with torch.no_grad():
+                samples = torch.arange(max_length, dtype=torch.float32)
+                samples = samples[None, None, :] + torch.from_numpy(
+                    np.asarray(pmf_start, np.float32))[:, None, None]
+
+                def logits(x):
+                    out = x
+                    for i in range(nf + 1):
+                        m = torch.from_numpy(np.array(
+                            self.params[f"matrices_{i}"], np.float32))
+                        out = torch.matmul(
+                            torch.nn.functional.softplus(m), out)
+                        out = out + torch.from_numpy(np.array(
+                            self.params[f"biases_{i}"], np.float32))
+                        if i < nf:
+                            f = torch.from_numpy(np.array(
+                                self.params[f"factors_{i}"], np.float32))
+                            out = out + torch.tanh(f) * torch.tanh(out)
+                    return out
+
+                lower = logits(samples - 0.5)
+                upper = logits(samples + 0.5)
+                sign = -torch.sign(lower + upper)
+                pmf = torch.abs(torch.sigmoid(sign * upper) -
+                                torch.sigmoid(sign * lower))[:, 0, :].numpy()
+                tail = (torch.sigmoid(lower[:, 0, 0]) +
+                        torch.sigmoid(-upper[:, 0, -1])).numpy()
+            return pmf, tail
+
+        samples = np.arange(max_length, dtype=np.float32)[None, None, :] \
+            + np.asarray(pmf_start, np.float32)[:, None, None]
         # host-side table building: run the tiny logits program on the CPU
         # backend — compiling it on an accelerator wastes minutes of remote
         # compile for microseconds of math
@@ -227,17 +281,7 @@ class EntropyBottleneckCodec:
         sign = -np.sign(lower + upper)
         pmf = np.abs(_sigmoid(sign * upper) - _sigmoid(sign * lower))[:, 0, :]
         tail = _sigmoid(lower[:, 0, 0]) + _sigmoid(-upper[:, 0, -1])
-
-        C = self.channels
-        cdf = np.zeros((C, max_length + 2), dtype=np.int32)
-        for c in range(C):
-            p = np.concatenate([pmf[c, :pmf_length[c]], [tail[c]]])
-            row = pmf_to_quantized_cdf(p.astype(np.float32), 16)
-            cdf[c, :len(row)] = row
-        self.quantized_cdf = cdf
-        self.cdf_length = (pmf_length + 2).astype(np.int32)
-        self.offset = (-minima).astype(np.int32)
-        return True
+        return pmf, tail
 
     def load_tables(self, quantized_cdf, cdf_length, offset) -> None:
         """Install CDF tables restored from a checkpoint (buffer import)."""

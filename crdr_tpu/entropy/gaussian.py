@@ -38,8 +38,21 @@ SCALES_LEVELS = 64
 
 def get_scale_table(minimum: float = SCALES_MIN, maximum: float = SCALES_MAX,
                     levels: int = SCALES_LEVELS) -> np.ndarray:
-    """exp(linspace(log min, log max, levels)) — CompressAI's default table."""
-    return np.exp(np.linspace(math.log(minimum), math.log(maximum), levels))
+    """exp(linspace(log min, log max, levels)) — CompressAI's default table.
+
+    CompressAI evaluates this in torch float32 (compressai/models/get_scale_table);
+    bit-exact .bin parity with reference streams needs the EXACT same f32 values
+    (a 1-ulp table drift can flip a build_indexes boundary), so compute through
+    torch when it is importable and fall back to the f64 numpy approximation
+    otherwise (verified by tests/test_reference_source_parity.py).
+    """
+    try:
+        import torch
+        return torch.exp(torch.linspace(math.log(minimum), math.log(maximum),
+                                        levels)).numpy()
+    except ImportError:
+        return np.exp(np.linspace(math.log(minimum), math.log(maximum),
+                                  levels))
 
 
 def gaussian_likelihood(values: Array, scales: Array,
@@ -168,17 +181,13 @@ class GaussianConditionalCodec:
         from ..runtime import pmf_to_quantized_cdf
 
         multiplier = -float(norm.ppf(self.tail_mass / 2.0))
-        pmf_center = np.ceil(self.scale_table * multiplier).astype(np.int32)
+        pmf_center = np.ceil(
+            np.asarray(self.scale_table, np.float32) * np.float32(multiplier)
+        ).astype(np.int32)
         pmf_length = 2 * pmf_center + 1
         max_length = int(pmf_length.max())
 
-        samples = np.abs(np.arange(max_length, dtype=np.float64)[None, :]
-                         - pmf_center[:, None])
-        ss = self.scale_table[:, None]
-        upper = _phi((0.5 - samples) / ss)
-        lower = _phi((-0.5 - samples) / ss)
-        pmf = upper - lower
-        tail = 2.0 * lower[:, :1]
+        pmf, tail = self._pmf(pmf_center, max_length)
 
         L = len(self.scale_table)
         cdf = np.zeros((L, max_length + 2), dtype=np.int32)
@@ -189,6 +198,35 @@ class GaussianConditionalCodec:
         self.quantized_cdf = cdf
         self.cdf_length = (pmf_length + 2).astype(np.int32)
         self.offset = (-pmf_center).astype(np.int32)
+
+    def _pmf(self, pmf_center: np.ndarray, max_length: int):
+        """Per-scale PMF rows.  CompressAI evaluates these in torch float32
+        (GaussianConditional.update); the quantized CDFs are sensitive to the
+        last ulp of the pmf, so reference-stream byte parity requires the same
+        arithmetic — use torch when importable, f64 numpy otherwise
+        (tests/test_reference_source_parity.py::test_cdf_table_parity)."""
+        try:
+            import torch
+        except ImportError:
+            samples = np.abs(np.arange(max_length, dtype=np.float64)[None, :]
+                             - pmf_center[:, None])
+            ss = np.asarray(self.scale_table, np.float64)[:, None]
+            upper = _phi((0.5 - samples) / ss)
+            lower = _phi((-0.5 - samples) / ss)
+            return upper - lower, 2.0 * lower[:, :1]
+
+        with torch.no_grad():
+            center = torch.from_numpy(pmf_center.astype(np.int32))
+            samples = torch.abs(
+                torch.arange(max_length).int() - center[:, None]).float()
+            ss = torch.from_numpy(
+                np.asarray(self.scale_table, np.float32)).unsqueeze(1)
+            const = -(2 ** -0.5)
+            upper = 0.5 * torch.erfc(const * ((0.5 - samples) / ss))
+            lower = 0.5 * torch.erfc(const * ((-0.5 - samples) / ss))
+            pmf = (upper - lower).numpy()
+            tail = (2.0 * lower[:, :1]).numpy()
+        return pmf, tail
 
     def load_tables(self, quantized_cdf, cdf_length, offset,
                     scale_table=None) -> None:
