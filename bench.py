@@ -2,17 +2,27 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Protocol: the full neural codec pipeline on one chip at 768x512 (Kodak size):
-analysis transform + hyper + Charm entropy-parameter pass (encode side), and
-hyper-decode + Charm parameter pass + synthesis transform (decode side), plus
-the host rANS encode/decode of the actual bitstream.  This is the end-to-end
-per-image compute a user pays (minus disk I/O).
+Protocol (metric_version 3): the full neural codec pipeline on one chip at
+768x512 (Kodak size) on PHOTOGRAPHIC content (the reference's demo_images
+tiled to the batch): analysis transform + hyper + Charm entropy-parameter
+pass (encode side), hyper-decode + Charm parameter pass + synthesis transform
+(decode side), plus the host/device rANS coding of the actual bitstream.
+Four serving configurations (wire format x schedule) are each timed as the
+MEDIAN of N trials (IQR kept alongside); the headline is the best config's
+median.  Max-of-single-shots is not used anywhere — the TPU relay's run-to-run
+variance (~30% day-to-day) made that upward-biased (ADVICE r3).
 
-``vs_baseline``: ratio against the CPU reference figure recorded in
-``BASELINE_CPU.json`` (measured once by running this same pipeline with
-JAX_PLATFORMS=cpu; the torch reference cannot run here — compressai is not
-installed — so the CPU-JAX figure stands in as the conservative baseline).
-The reference publishes no speed numbers (SURVEY.md section 6).
+``vs_baseline``: ratio against the CPU figure in ``BASELINE_CPU.json``
+(this same pipeline under JAX_PLATFORMS=cpu).  ``vs_torch_cpu``: ratio
+against ``BASELINE_TORCH.json`` — the ACTUAL reference source executing on
+torch-CPU (scripts/measure_torch_baseline.py, via tests/ref_shims).  The
+reference publishes no speed numbers (SURVEY.md section 6), so both
+denominators are measured here.
+
+FLOPs/MFU: every device program dispatch is counted during one serial
+roundtrip of the winning wire (runtime/aot.py ExeDispatch recorder hook) and
+costed with XLA's ``cost_analysis``; ``mfu_pct`` divides achieved FLOP/s at
+the headline throughput by the chip's assumed peak.
 """
 
 from __future__ import annotations
@@ -26,8 +36,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_CPU.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(_HERE, "BASELINE_CPU.json")
+BASELINE_TORCH_FILE = os.path.join(_HERE, "BASELINE_TORCH.json")
+DEMO_DIR = "/root/reference/demo_images"
+METRIC_VERSION = 3
+
+# assumed dense peak FLOP/s by device kind substring (used only for mfu_pct;
+# the assumption is echoed in the JSON so it can never mislead silently)
+_PEAK_FLOPS = (
+    ("v5 lite", 197e12, "bf16"),   # TPU v5e MXU peak
+    ("v5litepod", 197e12, "bf16"),
+    ("v4", 275e12, "bf16"),
+    ("v6", 918e12, "bf16"),
+)
+
+
+def _metric_string(W: int, H: int, batch: int) -> str:
+    return (f"encode+decode Mpixel/s ({W}x{H} batch={batch} best serving "
+            "config, flagship CRDR, 1 chip)")
 
 
 def _honor_platform_env() -> None:
@@ -42,7 +69,7 @@ def _honor_platform_env() -> None:
         jax.config.update("jax_platforms", want)
 
 
-def _require_backend(timeout_s: float) -> None:
+def _require_backend(timeout_s: float, metric: str) -> None:
     """Bound JAX backend init: the TPU relay, when unhealthy, can hang
     ``jax.devices()`` forever (observed 2026-08-18 — 20+ min).  Probe it in
     a daemon thread; on timeout print an honest zero-valued JSON line (so
@@ -64,8 +91,7 @@ def _require_backend(timeout_s: float) -> None:
         print(f"bench: backend init exceeded {timeout_s:.0f}s — relay "
               "unresponsive", file=sys.stderr, flush=True)
         print(json.dumps({
-            "metric": "encode+decode Mpixel/s (768x512 batch=8 pipelined, "
-                      "flagship CRDR, 1 chip)",
+            "metric": metric,
             "value": 0.0,
             "unit": "Mpixel/s",
             "vs_baseline": 0.0,
@@ -76,6 +102,34 @@ def _require_backend(timeout_s: float) -> None:
     print(f"bench: devices {res['devices']}", file=sys.stderr, flush=True)
 
 
+def load_bench_images(batch: int, h: int, w: int) -> np.ndarray:
+    """Photographic uint8 batch: the 3 reference demo images (Kodak), rotated
+    landscape and cropped to (h, w), tiled over the batch.  Falls back to
+    noise if the reference tree is absent (standalone checkouts)."""
+    try:
+        from PIL import Image
+
+        paths = sorted(os.listdir(DEMO_DIR))
+        tiles = []
+        for p in paths:
+            if not p.lower().endswith((".png", ".jpg")):
+                continue
+            arr = np.asarray(Image.open(os.path.join(DEMO_DIR, p))
+                             .convert("RGB"))
+            if arr.shape[0] > arr.shape[1]:  # portrait -> landscape
+                arr = np.rot90(arr)
+            if arr.shape[0] < h or arr.shape[1] < w:
+                continue
+            tiles.append(arr[:h, :w])
+        assert tiles
+    except Exception as e:  # noqa: BLE001 — any miss falls back to noise
+        print(f"bench: demo images unavailable ({e}); using noise",
+              file=sys.stderr, flush=True)
+        rng = np.random.default_rng(0)
+        return rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
+    return np.stack([tiles[i % len(tiles)] for i in range(batch)])
+
+
 def run_pipeline(model, imgs):
     encs = model.compress_batch(imgs, rate_ind=2.0)
     fake, _, _ = model.decompress_batch([e["string_list"] for e in encs],
@@ -83,36 +137,139 @@ def run_pipeline(model, imgs):
     return encs, fake
 
 
+def _median_iqr(xs):
+    xs = np.asarray(xs, np.float64)
+    q1, med, q3 = np.percentile(xs, [25, 50, 75])
+    return float(med), float(q3 - q1)
+
+
+def _serial_trials(model, imgs, trials: int):
+    """Per-trial seconds for one serial batch roundtrip."""
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        run_pipeline(model, imgs)
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def _pipelined_trials(model, imgs, trials: int, k: int = 3):
+    """Per-trial seconds/batch under the overlap schedule: encode of batch
+    j+1 overlaps the decode of batch j (the Charm decode loop is
+    RTT-floor-bound behind a remote-attached chip — the device is mostly
+    idle between its serial round trips, so the next batch's encode compute
+    hides under it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(model.compress_batch, imgs, 2.0)
+            for j in range(k):
+                encs = fut.result()
+                if j + 1 < k:
+                    fut = ex.submit(model.compress_batch, imgs, 2.0)
+                model.decompress_batch([e["string_list"] for e in encs],
+                                       beta=2.56)
+        out.append((time.perf_counter() - t0) / k)
+    return out
+
+
+def _latency_trials(model, img1, trials: int):
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        enc1 = model.compress(img1, rate_ind=2.0)
+        model.decompress(enc1["string_list"], beta=2.56)
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+class _FlopsCounter:
+    """AotRecorder-shaped hook that counts every device-program dispatch and
+    keeps one exemplar (jit_fn, args) per program+signature for costing."""
+
+    def __init__(self):
+        self.counts = {}
+        self.exemplars = {}
+
+    def record(self, name, jit_fn, args):
+        from crdr_tpu.runtime.aot import _key_str
+
+        key = _key_str(name, args)
+        self.counts[key] = self.counts.get(key, 0) + 1
+        if key not in self.exemplars:
+            self.exemplars[key] = (jit_fn, args)
+
+    def total_flops(self):
+        """Sum of per-call XLA cost_analysis flops; None when unavailable."""
+        total = 0.0
+        for key, (jit_fn, args) in self.exemplars.items():
+            try:
+                lowered = jit_fn.lower(*args)
+                try:
+                    cost = lowered.cost_analysis()
+                except Exception:
+                    cost = None
+                if cost is None:  # TPU backend: compiled-only cost analysis
+                    cost = lowered.compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                total += float(cost.get("flops", 0.0)) * self.counts[key]
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: cost_analysis failed for {key[:60]}: {e}",
+                      file=sys.stderr, flush=True)
+                return None
+        return total
+
+
+def measure_flops(model, imgs) -> float | None:
+    """FLOPs of one serial batch roundtrip under the model's CURRENT wire
+    format, via the ExeDispatch recorder hook."""
+    prev = model._aot_recorder
+    counter = _FlopsCounter()
+    model._aot_recorder = counter
+    try:
+        run_pipeline(model, imgs)
+    finally:
+        model._aot_recorder = prev
+    return counter.total_flops()
+
+
 def main():
     from __graft_entry__ import _flagship_model
 
     H, W = 512, 768  # Kodak landscape
     BATCH = int(os.environ.get("CRDR_BENCH_BATCH", "8"))
+    TRIALS = int(os.environ.get("CRDR_BENCH_TRIALS", "5"))
     cfg_name = os.environ.get("CRDR_BENCH_CONFIG", "crdr_throughput.yaml")
     # CRDR_BENCH_TINY=1: shrunken model + image — NOT a valid measurement,
     # just a CPU-runnable smoke of the full bench code path (all legs), so
     # bench regressions are catchable without TPU access
     tiny = os.environ.get("CRDR_BENCH_TINY", "0") == "1"
     if tiny:
-        H, W, BATCH = 128, 192, min(BATCH, 2)
+        H, W, BATCH, TRIALS = 128, 192, min(BATCH, 2), 2
+    metric = _metric_string(W, H, BATCH)
     _honor_platform_env()
-    _require_backend(float(os.environ.get("CRDR_BENCH_INIT_TIMEOUT", "600")))
+    _require_backend(float(os.environ.get("CRDR_BENCH_INIT_TIMEOUT", "600")),
+                     metric)
     print(f"bench: building model ({cfg_name}, tiny={tiny})...",
           file=sys.stderr, flush=True)
     model = _flagship_model(tiny=tiny, config_name=cfg_name)
     model.codec_setup()
-    rng = np.random.default_rng(0)
-    # uint8 pixels: the real codec input (decoded PNG), and the dtype the
-    # uint8-wire fast path ships to the device.  Throughput protocol: a
-    # serving batch of BATCH images moves through compress_batch /
+    # photographic uint8 pixels (decoded PNG — the real codec input, and the
+    # dtype the uint8-wire fast path ships to the device).  Throughput
+    # protocol: a serving batch moves through compress_batch /
     # decompress_batch — ONE set of device dispatches per batch (the Charm
     # decode loop's serial round trips amortize across the batch; per-image
     # rANS streams stay independent and bit-identical to batch-1 coding).
-    imgs = rng.integers(0, 256, (BATCH, H, W, 3), dtype=np.uint8)
+    imgs = load_bench_images(BATCH, H, W)
+    img1 = imgs[:1]
+    npix_batch = BATCH * H * W
 
     print("bench: warmup/compile...", file=sys.stderr, flush=True)
     run_pipeline(model, imgs)
-    print("bench: timing...", file=sys.stderr, flush=True)
 
     profile_dir = os.environ.get("CRDR_PROFILE_DIR")
     if profile_dir:
@@ -120,96 +277,66 @@ def main():
 
         jax.profiler.start_trace(profile_dir)
 
-    iters = 3
-    t_enc = t_dec = 0.0
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        encs = model.compress_batch(imgs, rate_ind=2.0)
-        t_enc += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        model.decompress_batch([e["string_list"] for e in encs], beta=2.56)
-        t_dec += time.perf_counter() - t0
-    t_enc /= iters
-    t_dec /= iters
-    dt = t_enc + t_dec
-    print(f"bench: serial batch={BATCH} encode {t_enc:.3f}s decode "
-          f"{t_dec:.3f}s ({dt / BATCH * 1e3:.0f} ms/img) "
-          f"stage timing enc={encs[0]['timing']} "
+    legs = {}          # (wire, schedule) -> (median_s_per_batch, iqr)
+    extras = {}
+
+    def leg(wire, sched, times):
+        med, iqr = _median_iqr(times)
+        legs[(wire, sched)] = (med, iqr)
+        print(f"bench: {wire}/{sched} median {med:.3f}s/batch "
+              f"(iqr {iqr:.3f}, n={len(times)}) "
+              f"{npix_batch / med / 1e6:.3f} Mpix/s",
+              file=sys.stderr, flush=True)
+
+    print("bench: host-wire legs...", file=sys.stderr, flush=True)
+    leg("compressai", "serial", _serial_trials(model, imgs, TRIALS))
+    leg("compressai", "pipelined",
+        _pipelined_trials(model, imgs, max(2, TRIALS - 2)))
+    lat_host = _latency_trials(model, img1, TRIALS)[1:]  # drop compile iter
+    extras["batch1_latency_ms"] = round(np.median(lat_host) * 1e3, 1)
+    extras["batch1_mpix_s"] = round(
+        H * W / float(np.median(lat_host)) / 1e6, 4)
+    # predicted-vs-real stream size on photographic content (noise was the
+    # r3 headline input — max-entropy symbols, unrepresentative streams)
+    encs = model.compress_batch(imgs, rate_ind=2.0)
+    extras["real_bpp"] = round(sum(
+        sum(len(bytes(s)) for s in e["string_list"]) * 8
+        for e in encs) / npix_batch, 4)
+    print(f"bench: stage timing enc={encs[0]['timing']} "
           f"dec={model.last_decode_timing}", file=sys.stderr, flush=True)
 
-    # -- pipelined steady-state serving: encode of batch k+1 overlaps the
-    # decode of batch k (the Charm decode loop is RTT-floor-bound behind a
-    # remote-attached chip — the device is mostly idle between its serial
-    # round trips, so the next batch's encode compute hides under it).
-    from concurrent.futures import ThreadPoolExecutor
-
-    K = 6
-    print("bench: pipelined timing...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(model.compress_batch, imgs, 2.0)
-        for k in range(K):
-            encs = fut.result()
-            if k + 1 < K:
-                fut = ex.submit(model.compress_batch, imgs, 2.0)
-            model.decompress_batch([e["string_list"] for e in encs],
-                                   beta=2.56)
-    t_pipe = (time.perf_counter() - t0) / K
-
-    # -- single-image latency (r1 protocol; kept visible so latency
-    # regressions can't hide behind batch throughput)
-    print("bench: batch=1 latency...", file=sys.stderr, flush=True)
-    img1 = imgs[:1]
-    lat = []
-    for i in range(4):
-        t0 = time.perf_counter()
-        enc1 = model.compress(img1, rate_ind=2.0)
-        model.decompress(enc1["string_list"], beta=2.56)
-        lat.append(time.perf_counter() - t0)
-    lat1 = float(np.median(lat[1:]))  # drop the compile iteration
-
-    # -- device-wire protocol (wire_format: device): the y bitstream is
-    # lane-interleaved rans32 entropy-decoded ON DEVICE, so the Charm decode
-    # is one uninterrupted async dispatch chain (1 blocking sync instead of
-    # num_slices+1).  Reported as extra keys; the headline metric keeps the
-    # round-2 protocol for cross-round comparability.
-    lat1_dev = mpix_dev = mpix_dev_pipe = None
+    flops_batch = None
     if os.environ.get("CRDR_BENCH_DEVICE_WIRE", "1") == "1":
         print("bench: device-wire legs...", file=sys.stderr, flush=True)
         model.wire_format = "device"
         try:
             run_pipeline(model, imgs)  # compile rans_round/decode variants
-            t0 = time.perf_counter()
-            encs = model.compress_batch(imgs, rate_ind=2.0)
-            model.decompress_batch([e["string_list"] for e in encs],
-                                   beta=2.56)
-            mpix_dev = BATCH * (H * W) / (time.perf_counter() - t0) / 1e6
-            # pipelined leg (same overlap schedule as the headline metric)
-            t0 = time.perf_counter()
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(model.compress_batch, imgs, 2.0)
-                for k in range(3):
-                    encs = fut.result()
-                    if k + 1 < 3:
-                        fut = ex.submit(model.compress_batch, imgs, 2.0)
-                    model.decompress_batch(
-                        [e["string_list"] for e in encs], beta=2.56)
-            mpix_dev_pipe = BATCH * (H * W) / ((time.perf_counter() - t0)
-                                               / 3) / 1e6
-            latd = []
-            for i in range(4):
-                t0 = time.perf_counter()
-                enc1 = model.compress(img1, rate_ind=2.0)
-                model.decompress(enc1["string_list"], beta=2.56)
-                latd.append(time.perf_counter() - t0)
-            lat1_dev = float(np.median(latd[1:]))
-            print(f"bench: device-wire batch={BATCH} serial "
-                  f"{mpix_dev:.3f} / pipelined {mpix_dev_pipe:.3f} Mpix/s "
-                  f"| batch=1 latency {lat1_dev * 1e3:.0f} ms "
-                  f"dec={model.last_decode_timing}",
+            leg("device", "serial", _serial_trials(model, imgs, TRIALS))
+            leg("device", "pipelined",
+                _pipelined_trials(model, imgs, max(2, TRIALS - 2)))
+            latd = _latency_trials(model, img1, TRIALS)[1:]
+            extras["device_wire_batch1_latency_ms"] = round(
+                np.median(latd) * 1e3, 1)
+            print("bench: counting FLOPs (device wire)...",
                   file=sys.stderr, flush=True)
+            flops_batch = measure_flops(model, imgs)
         finally:
             model.wire_format = "compressai"
+    if flops_batch is None:
+        print("bench: counting FLOPs (host wire)...",
+              file=sys.stderr, flush=True)
+        flops_batch = measure_flops(model, imgs)
+
+    # noise secondary leg: keeps the r1-r3 input distribution visible so the
+    # protocol change to real images cannot hide a regression
+    noise = np.random.default_rng(0).integers(
+        0, 256, imgs.shape, dtype=np.uint8)
+    t_noise = _serial_trials(model, noise, 1)[0]
+    extras["noise_serial_mpix_s"] = round(npix_batch / t_noise / 1e6, 4)
+    encs_n = model.compress_batch(noise, rate_ind=2.0)
+    extras["noise_bpp"] = round(sum(
+        sum(len(bytes(s)) for s in e["string_list"]) * 8
+        for e in encs_n) / npix_batch, 4)
 
     if profile_dir:
         import jax
@@ -217,55 +344,60 @@ def main():
         jax.profiler.stop_trace()
         print(f"bench: perfetto trace -> {profile_dir}", file=sys.stderr)
 
-    mpix_serial = BATCH * (H * W) / dt / 1e6
-    mpix_pipe = BATCH * (H * W) / t_pipe / 1e6
-    mpix_1 = (H * W) / lat1 / 1e6
-    print(f"bench: pipelined batch={BATCH} {t_pipe:.3f}s/batch "
-          f"({t_pipe / BATCH * 1e3:.0f} ms/img, {mpix_pipe:.3f} Mpix/s; "
-          f"serial {mpix_serial:.3f}) | batch=1 latency {lat1 * 1e3:.0f} ms "
-          f"({mpix_1:.3f} Mpix/s)", file=sys.stderr, flush=True)
+    # Headline = median throughput of the best serving configuration (wire
+    # format x schedule).  Both axes are static config switches a deployment
+    # picks once (--wire, pipelining on/off in the CLI/daemon); which one
+    # wins flips with relay RTT conditions.  Every candidate stays visible
+    # below so none can regress invisibly.
+    (best_wire, best_sched), (best_s, best_iqr) = min(
+        legs.items(), key=lambda kv: kv[1][0])
+    mpix_s = npix_batch / best_s / 1e6
 
-    # Headline = the best measured serving configuration (wire format x
-    # schedule).  Both axes are static config switches a deployment picks
-    # once (--wire, pipelining on/off in the CLI/daemon); which one wins
-    # flips with relay RTT conditions (pipelining overlaps encode under the
-    # decode chain's round-trip gaps when RTT is high, but head-of-line
-    # blocks the chain when RTT is low — both observed on this tunnel).
-    # Every candidate stays visible below so none can regress invisibly.
-    candidates = {
-        ("compressai", "serial"): mpix_serial,
-        ("compressai", "pipelined"): mpix_pipe,
+    out = {
+        "metric": metric,
+        "value": round(mpix_s, 4),
+        "unit": "Mpixel/s",
+        "metric_version": METRIC_VERSION,
+        "protocol": f"median of N trials per config (IQR alongside), "
+                    f"photographic input ({DEMO_DIR})",
+        "wire": best_wire,
+        "schedule": best_sched,
+        "iqr_mpix_s": round(npix_batch / (best_s - best_iqr / 2) / 1e6
+                            - npix_batch / (best_s + best_iqr / 2) / 1e6, 4)
+        if best_s > best_iqr else None,
     }
-    if mpix_dev is not None:
-        candidates[("device", "serial")] = mpix_dev
-        candidates[("device", "pipelined")] = mpix_dev_pipe
-    (best_wire, best_sched), mpix_s = max(candidates.items(),
-                                          key=lambda kv: kv[1])
+    for (wire, sched), (med, iqr) in sorted(legs.items()):
+        pfx = "" if wire == "compressai" else "device_wire_"
+        out[f"{pfx}{sched}_mpix_s"] = round(npix_batch / med / 1e6, 4)
+        out[f"{pfx}{sched}_iqr_s"] = round(iqr, 4)
+    out.update(extras)
 
-    vs_baseline = 0.0
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)
         if base.get("mpixel_s"):
-            vs_baseline = mpix_s / base["mpixel_s"]
+            out["vs_baseline"] = round(mpix_s / base["mpixel_s"], 3)
+    out.setdefault("vs_baseline", 0.0)
+    if os.path.exists(BASELINE_TORCH_FILE):
+        with open(BASELINE_TORCH_FILE) as f:
+            tbase = json.load(f)
+        if tbase.get("mpixel_s"):
+            out["vs_torch_cpu"] = round(mpix_s / tbase["mpixel_s"], 3)
 
-    print(json.dumps({
-        "metric": f"encode+decode Mpixel/s ({W}x{H} batch={BATCH} best "
-                  "serving config, flagship CRDR, 1 chip)",
-        "value": round(mpix_s, 4),
-        "unit": "Mpixel/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "wire": best_wire,
-        "schedule": best_sched,
-        "serial_mpix_s": round(mpix_serial, 4),
-        "pipelined_mpix_s": round(mpix_pipe, 4),
-        "batch1_latency_ms": round(lat1 * 1e3, 1),
-        "batch1_mpix_s": round(mpix_1, 4),
-        **({"device_wire_serial_mpix_s": round(mpix_dev, 4),
-            "device_wire_pipelined_mpix_s": round(mpix_dev_pipe, 4),
-            "device_wire_batch1_latency_ms": round(lat1_dev * 1e3, 1)}
-           if lat1_dev is not None else {}),
-    }))
+    if flops_batch:
+        import jax
+
+        out["flops_per_image"] = round(flops_batch / BATCH)
+        kind = jax.devices()[0].device_kind.lower()
+        for sub, peak, prec in _PEAK_FLOPS:
+            if sub in kind:
+                out["mfu_pct"] = round(
+                    flops_batch / best_s / peak * 100, 3)
+                out["mfu_peak_assumption"] = f"{peak / 1e12:.0f}T {prec} " \
+                                             f"({kind})"
+                break
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
