@@ -247,3 +247,10 @@ class RateCondClic21GvaeDiscriminator(nn.Module):
         return _Clic21Backbone(self.in_ch + self.rate_level, self.main_ch,
                                self.out_ch, self.norm_type, name="model")(
             inp, train)
+
+
+@DISCRIMINATOR_REGISTRY.register()
+class MultirateSharedRateCondClic21GvaeDiscriminator(
+        RateCondClic21GvaeDiscriminator):
+    """Alias under the reference's class name so any reference config
+    resolves unchanged (multirate_clic21_gvae_discriminator.py:252)."""

@@ -58,12 +58,17 @@ def main(argv=None):
     if "ms_ssim" in args.metrics:
         vals = [calc_ms_ssim(imread(r), imread(f)) for r, f in pairs]
         results["MS-SSIM"] = float(np.mean(vals))
+    # Perceptual metrics are only meaningful with imported pretrained
+    # features (reference calc_metrics.py:171-318 downloads them; this image
+    # cannot).  Each leg returns (value, status); a skipped/random-weight leg
+    # records WHY in _metrics.json instead of a bare sentinel so golden
+    # comparisons can never silently ingest garbage numbers.
     if "lpips" in args.metrics:
-        results["LPIPS"] = _lpips(pairs, logger)
+        _record(results, "LPIPS", *_lpips(pairs, logger))
     if "fid" in args.metrics:
-        results["FID"] = _fid(pairs, logger)
+        _record(results, "FID", *_fid(pairs, logger))
     if "dists" in args.metrics:
-        results["DISTS"] = _dists(pairs, logger)
+        _record(results, "DISTS", *_dists(pairs, logger))
 
     rate_json = os.path.join(args.fake_dir, "_avg_bitrate.json")
     if os.path.exists(rate_json):
@@ -77,10 +82,27 @@ def main(argv=None):
     return results
 
 
+def _record(results, name, value, status):
+    """value=None -> metric omitted; status != 'pretrained' is recorded
+    alongside the value so provenance is always explicit."""
+    if value is not None:
+        results[name] = value
+    if status != "pretrained":
+        results[f"{name}_weights"] = status
+
+
 def _lpips(pairs, logger):
     if not os.environ.get("CRDR_LPIPS_WEIGHTS"):
+        if os.environ.get("CRDR_ALLOW_RANDOM_LPIPS"):
+            logger.warning("LPIPS computed with RANDOM weights — tagged in "
+                           "_metrics.json; NOT comparable to reference")
+            return _lpips_value(pairs), "random"
         logger.warning("LPIPS skipped: set CRDR_LPIPS_WEIGHTS to enable")
-        return -1.0
+        return None, "skipped: no pretrained weights"
+    return _lpips_value(pairs), "pretrained"
+
+
+def _lpips_value(pairs):
     import jax.numpy as jnp
 
     from crdr_tpu.losses.perceptual_loss import LPIPSLoss
@@ -94,7 +116,7 @@ def _lpips(pairs, logger):
 def _dists(pairs, logger):
     if not os.environ.get("CRDR_DISTS_WEIGHTS"):
         logger.warning("DISTS skipped: set CRDR_DISTS_WEIGHTS to enable")
-        return -1.0
+        return None, "skipped: no pretrained weights"
     import pickle
 
     import jax.numpy as jnp
@@ -110,16 +132,16 @@ def _dists(pairs, logger):
         a = (jnp.asarray(imread(r))[None] + 1) / 2
         b = (jnp.asarray(imread(fk))[None] + 1) / 2
         vals.append(float(mod.apply(variables, a, b)[0]))
-    return float(np.mean(vals))
+    return float(np.mean(vals)), "pretrained"
 
 
 def _fid(pairs, logger):
     if len(pairs) < 50:
         logger.error(f"num_img (={len(pairs)}) is too small to calc FID")
-        return -1.0
+        return None, f"skipped: {len(pairs)} images < 50 (HiFiC protocol)"
     if not os.environ.get("CRDR_INCEPTION_WEIGHTS"):
         logger.warning("FID skipped: set CRDR_INCEPTION_WEIGHTS to enable")
-        return -1.0
+        return None, "skipped: no pretrained weights"
     from crdr_tpu.metrics.fid import fid_from_image_lists
     from crdr_tpu.metrics.inception import make_inception_extractor
     from crdr_tpu.utils.img_utils import tensor_to_uint8
@@ -128,7 +150,7 @@ def _fid(pairs, logger):
         os.environ["CRDR_INCEPTION_WEIGHTS"])
     reals = (tensor_to_uint8(imread(r)) for r, _ in pairs)
     fakes = (tensor_to_uint8(imread(f)) for _, f in pairs)
-    return fid_from_image_lists(reals, fakes, extractor)
+    return fid_from_image_lists(reals, fakes, extractor), "pretrained"
 
 
 if __name__ == "__main__":

@@ -63,6 +63,35 @@ def test_calc_metrics_cli(tiny_config_and_images):
     assert os.path.exists(os.path.join(out_dir, "_metrics.json"))
 
 
+def test_calc_metrics_random_weight_guard(tiny_config_and_images,
+                                          monkeypatch):
+    """Perceptual legs must refuse (or loudly tag) without pretrained
+    weights: no bare number may reach _metrics.json (VERDICT r3 item 7)."""
+    cfg_path, img_dir, tmp = tiny_config_and_images
+    out_dir = os.path.join(tmp, "out")
+    if not os.path.exists(os.path.join(out_dir, "img0.png")):
+        pytest.skip("compress test must run first")
+    from scripts.calc_metrics import main
+
+    monkeypatch.delenv("CRDR_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.delenv("CRDR_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("CRDR_DISTS_WEIGHTS", raising=False)
+    monkeypatch.delenv("CRDR_ALLOW_RANDOM_LPIPS", raising=False)
+    results = main(["--real_dir", img_dir, "--fake_dir", out_dir,
+                    "--metrics", "lpips", "fid", "dists"])
+    for name in ("LPIPS", "FID", "DISTS"):
+        assert name not in results
+        assert results[f"{name}_weights"].startswith("skipped")
+
+    # random-weight LPIPS is allowed only with the explicit opt-in, and the
+    # provenance tag must ride along with the value
+    monkeypatch.setenv("CRDR_ALLOW_RANDOM_LPIPS", "1")
+    results = main(["--real_dir", img_dir, "--fake_dir", out_dir,
+                    "--metrics", "lpips"])
+    assert "LPIPS" in results
+    assert results["LPIPS_weights"] == "random"
+
+
 def test_compress_cli_batched(tiny_config_and_images):
     """--batch groups same-size images; outputs identical to batch 1."""
     cfg_path, img_dir, tmp = tiny_config_and_images

@@ -63,3 +63,20 @@ def test_example_configs_compose():
     for p in glob(os.path.join(CONFIG_DIR, "examples", "*.yaml")):
         cfg = Config.from_file(p)
         assert "trainer" in cfg and "subnet" in cfg
+
+
+def test_reference_discriminator_name_resolves():
+    """A reference config naming the original class
+    (multirate_clic21_gvae_discriminator.py:252) must build here."""
+    import jax
+    import jax.numpy as jnp
+
+    from crdr_tpu.subnet.discriminator import build_discriminator
+
+    disc = build_discriminator(
+        {"type": "MultirateSharedRateCondClic21GvaeDiscriminator",
+         "rate_level": 5, "main_ch": 8})
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    var = disc.init(jax.random.PRNGKey(0), x, 2, train=False)
+    out = disc.apply(var, x, 2, train=False)
+    assert out.shape[0] == 1 and jnp.all(jnp.isfinite(out))
