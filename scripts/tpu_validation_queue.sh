@@ -3,8 +3,10 @@
 # single healthy-relay window, sequenced (one JAX process at a time — the
 # relay must never be shared).  Run from the repo root; logs land in
 # /tmp/tpuval/.  Each leg is individually bounded so one hang cannot eat the
-# window.  Safe to re-run: every leg is read-only w.r.t. the repo (bench JSON
-# lines + RD CSVs are copied out at the end by hand after inspection).
+# window.  Safe to re-run: legs are read-only w.r.t. tracked files (bench
+# JSON lines + RD CSVs are copied out at the end by hand after inspection);
+# the conditional train_short_ckpt leg writes to the gitignored checkpoint/
+# directory (plus its logs/config dump under there).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpuval
@@ -57,6 +59,13 @@ if [ ! -f "$CKPT" ]; then
   if [ ! -f "$CKPT" ]; then
     run train_short_ckpt 2400 python scripts/train.py config/real_stage2_short.yaml
   fi
+fi
+if [ ! -f "$CKPT" ]; then
+  echo "short checkpoint build failed ($CKPT missing) — skipping legs 4-6" \
+    | tee -a /tmp/tpuval/summary.log
+  echo "=== queue done, ckpt legs skipped ($(date +%T)) ===" \
+    | tee -a /tmp/tpuval/summary.log
+  exit 1
 fi
 
 # 4. RD delta of the fastchain on the trained real-data checkpoint — same
