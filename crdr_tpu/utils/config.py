@@ -160,13 +160,15 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
     """CLI surface mirrors reference TrainConfig.get_opt (options.py:215-264)."""
     parser = argparse.ArgumentParser(description="train")
     _add_common_args(parser)
-    parser.add_argument("--start_iter", type=int, default=None)
-    parser.add_argument("--total_iter", type=int, default=None)
-    parser.add_argument("--batch_size", type=int, default=None)
-    parser.add_argument("--eval_step", type=int, default=None)
-    parser.add_argument("--log_step", type=int, default=None)
-    parser.add_argument("--save_step", type=int, default=None)
-    parser.add_argument("--num_workers", type=int, default=None)
+    # short aliases match the reference exactly (options.py:219-228) so a
+    # reference user's existing command lines keep working verbatim
+    parser.add_argument("-si", "--start_iter", type=int, default=None)
+    parser.add_argument("-ti", "--total_iter", type=int, default=None)
+    parser.add_argument("-b", "--batch_size", type=int, default=None)
+    parser.add_argument("-e", "--eval_step", type=int, default=None)
+    parser.add_argument("-l", "--log_step", type=int, default=None)
+    parser.add_argument("-s", "--save_step", type=int, default=None)
+    parser.add_argument("-nw", "--num_workers", type=int, default=None)
     parser.add_argument("--n_devices", type=int, default=None,
                         help="data-parallel device count (Mesh over ICI)")
     parser.add_argument("--distributed", action="store_true",
@@ -175,7 +177,7 @@ def get_train_config(argv: Optional[List[str]] = None) -> Config:
                         help="resume from the newest checkpoint in the "
                              "experiment dir (crash resilience)")
     parser.add_argument("--dry_run", action="store_true")
-    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("-wb", "--use_wandb", action="store_true")
     args = parser.parse_args(argv)
 
     cfg = Config.from_file(args.config_path)

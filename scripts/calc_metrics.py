@@ -37,7 +37,12 @@ def main(argv=None):
     p.add_argument("--fake_dir", required=True)
     p.add_argument("--metrics", nargs="+",
                    default=["psnr", "ms_ssim", "lpips", "fid"])
+    # reference compat (calc_metrics.py:43): accepted; cuda devices map to
+    # the default JAX backend, 'cpu' forces the CPU backend
+    p.add_argument("-d", "--device", type=str, default=None)
     args = p.parse_args(argv)
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     logger = get_root_logger()
 
     real_paths = _list_images(args.real_dir)

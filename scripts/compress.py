@@ -32,7 +32,11 @@ from crdr_tpu.utils.logger import get_root_logger
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="compress/decompress images")
-    p.add_argument("config_path", type=str)
+    # the reference CLI passes the config as --config_path (compress.py:37);
+    # we prefer it positional — accept both spellings
+    p.add_argument("config_path", type=str, nargs="?", default=None)
+    p.add_argument("--config_path", dest="config_path_flag", type=str,
+                   default=None, help="alias of the positional config path")
     p.add_argument("--model_path", type=str, default=None,
                    help="checkpoint (.ckpt ours / .pth.tar reference)")
     p.add_argument("--img_dir", type=str, required=True)
@@ -60,7 +64,11 @@ def parse_args(argv=None):
                    help="shard each serving batch over this many devices "
                         "(batch-axis GSPMD mesh; streams identical to one "
                         "device). Pair with --batch >= this value")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    args.config_path = args.config_path or args.config_path_flag
+    if not args.config_path:
+        p.error("a config path is required (positional or --config_path)")
+    return args
 
 
 def _finish_chunk(fut, args, logger, rows, bpps, decode_fn):

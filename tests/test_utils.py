@@ -72,6 +72,33 @@ def test_reference_crdr_config_composes():
     assert cfg.subnet.decoder.max_beta == 5.12
 
 
+def test_train_cli_reference_short_flags():
+    # the reference's short option spellings (options.py:219-228) must parse
+    from crdr_tpu.utils.config import get_train_config
+
+    cfg = get_train_config([
+        "/root/repo/config/crdr_stage_1.yaml",
+        "-si", "100", "-ti", "2000", "-b", "4", "-e", "500", "-l", "50",
+        "-s", "1000", "-nw", "2", "-wb"])
+    assert cfg.start_iter == 100 and cfg.total_iter == 2000
+    assert cfg.dataset.batch_size == 4
+    assert cfg.eval_step == 500 and cfg.log_step == 50 and cfg.save_step == 1000
+    assert cfg.num_workers == 2 and cfg.use_wandb is True
+
+
+def test_compress_cli_config_path_flag(tmp_path):
+    # reference spelling --config_path (compress.py:37) and our positional
+    # must resolve to the same thing; neither given is an error
+    import scripts.compress as sc
+
+    common = ["--img_dir", "a", "--save_dir", "b"]
+    a1 = sc.parse_args(["config/crdr.yaml"] + common)
+    a2 = sc.parse_args(["--config_path", "config/crdr.yaml"] + common)
+    assert a1.config_path == a2.config_path == "config/crdr.yaml"
+    with pytest.raises(SystemExit):
+        sc.parse_args(common)
+
+
 def test_registry():
     reg = Registry("test")
 
