@@ -1,0 +1,62 @@
+#!/bin/bash
+# Post-endurance TPU queue (round 4): runs the moment the endurance chain
+# releases the chip.  Legs: roundtrip profiler (both wires), final default
+# bench sanity (promoted fused_slice_kernel), fastchain RD-delta sweep on
+# the endurance stage-3 checkpoint (vs the chain's own default-config final
+# sweep in /tmp/endurance_r4/rd_final), and a batch=16 floor re-check.
+# One JAX process at a time; logs in /tmp/post_r4/.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/post_r4
+
+if [ -f /tmp/endurance.pid ]; then
+  EPID=$(cat /tmp/endurance.pid)
+  echo "waiting for endurance chain (pid $EPID)..." | tee -a /tmp/post_r4/summary.log
+  while kill -0 "$EPID" 2>/dev/null; do sleep 60; done
+fi
+echo "=== endurance done; post queue starts $(date +%T) ===" \
+  | tee -a /tmp/post_r4/summary.log
+
+ENV_EXTRA=()
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
+  timeout "$tmo" env "${ENV_EXTRA[@]}" "$@" >"/tmp/post_r4/$name.log" 2>&1
+  local rc=$?
+  tail -4 "/tmp/post_r4/$name.log" | tee -a /tmp/post_r4/summary.log
+  echo "--- $name rc=$rc" | tee -a /tmp/post_r4/summary.log
+}
+
+# 1. Where does the time go: per-program roofline, both wires (VERDICT r3
+#    item 4's committed-profile criterion).
+run profile_device 1500 python scripts/profile_roundtrip.py --wire device
+run profile_host 1200 python scripts/profile_roundtrip.py --wire compressai
+
+# 2. Final bench sanity: the promoted default should reproduce the
+#    CRDR_PALLAS=1 A/B leg (~1.5 Mpix/s in a healthy window).
+run bench_default 1500 python bench.py
+
+# 3. Batch=16 floor re-check under the promoted kernel.
+ENV_EXTRA=(CRDR_BENCH_BATCH=16)
+run bench_b16 1200 python bench.py
+ENV_EXTRA=()
+
+# 4. Fastchain RD delta on the TRAINED endurance stage-3 checkpoint
+#    (promotion re-review with quality evidence; compare against
+#    /tmp/endurance_r4/rd_final from the chain's default-config sweep).
+CKPT=checkpoint/endurance_r4_stage3/model/comp_model_iter20K.ckpt
+if [ -f "$CKPT" ]; then
+  run rd_fastchain 2400 python scripts/rd_sweep.py config/crdr_fastchain.yaml \
+      --model_path "$CKPT" \
+      --img_dir /root/reference/demo_images --save_dir /tmp/post_r4/rd_fastchain
+  if [ -f /tmp/endurance_r4/rd_final/rd_curve.csv ] && \
+     [ -f /tmp/post_r4/rd_fastchain/rd_curve.csv ]; then
+    run bd_fastchain 300 python scripts/bd_rate.py \
+        /tmp/endurance_r4/rd_final/rd_curve.csv \
+        /tmp/post_r4/rd_fastchain/rd_curve.csv
+  fi
+else
+  echo "no stage-3 ckpt ($CKPT) — skipping RD legs" | tee -a /tmp/post_r4/summary.log
+fi
+
+echo "=== post queue done ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
