@@ -392,20 +392,29 @@ class DeviceWireCodecMixin:
             if self.use_beta else None
         m = zH * 4 * zW * 4 * self.slice_ch  # y grid = 4x the z grid
 
-        states = ptrs = None
-        y_slices: List[Array] = []
-        for i in range(ns):
-            sym, states, ptrs = rans(
-                states, ptrs, words_d, idx, fp_d, fv_d, fa_d,
-                np.int32(i * m), ytab["cdf"], ytab["len"], ytab["off"])
-            if i < ns - 1:
-                y_prev, support, mu, _sigma, idx = step(
-                    self._charm_packed, jnp.int32(i + 1), hm, hs,
-                    support, sym, mu, table)
-                y_slices.append(y_prev)
-            else:
-                fake, y_hat = self._codec_fn("decode_final")(
-                    cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
+        if self._use_fused_loop(hm):
+            # ONE program for the whole loop (see ops/charm_uniform.
+            # uniform_decode_loop); decode_final stays the shared executable
+            y_slices, sym_l, mu_l, support = self._codec_fn("charm_loop")(
+                cp, hm, hs, support, mu, idx, words_d, fp_d, fv_d, fa_d,
+                ytab["cdf"], ytab["len"], ytab["off"], table)
+            fake, y_hat = self._codec_fn("decode_final")(
+                cp, hm, support, sym_l, mu_l, y_slices, ri, bt)
+        else:
+            states = ptrs = None
+            y_slices: List[Array] = []
+            for i in range(ns):
+                sym, states, ptrs = rans(
+                    states, ptrs, words_d, idx, fp_d, fv_d, fa_d,
+                    np.int32(i * m), ytab["cdf"], ytab["len"], ytab["off"])
+                if i < ns - 1:
+                    y_prev, support, mu, _sigma, idx = step(
+                        self._charm_packed, jnp.int32(i + 1), hm, hs,
+                        support, sym, mu, table)
+                    y_slices.append(y_prev)
+                else:
+                    fake, y_hat = self._codec_fn("decode_final")(
+                        cp, hm, support, sym, mu, tuple(y_slices), ri, bt)
         fake = np.asarray(fake)  # the ONLY blocking sync of the decode
         timing["device_chain_s"] = _time.perf_counter() - t0
 
@@ -418,6 +427,28 @@ class DeviceWireCodecMixin:
         timing["postprocess_s"] = _time.perf_counter() - t0
         self.last_decode_timing = timing
         return fake, z_hat, y_hat
+
+    def _use_fused_loop(self, hm) -> bool:
+        """Fused whole-loop decode is safe only when the Pallas
+        SliceTransform kernel carries the conv arithmetic: the encoder
+        replays the per-step executables, and a Mosaic kernel is the only
+        conv compilation that is byte-stable across call sites (everything
+        else in the loop is elementwise f32 or exact integer).  With plain
+        XLA convs (kernel off, CPU backend, or a latent too big for VMEM)
+        the per-step dispatch chain stays the decode path.
+
+        Opt-in: ``fused_decode_loop`` config key; env CRDR_FUSED_LOOP=1/0
+        overrides (the A/B escape hatch, like CRDR_PALLAS)."""
+        import os
+
+        env = os.environ.get("CRDR_FUSED_LOOP")
+        want = bool(getattr(self, "fused_decode_loop", False)) \
+            if env is None else env == "1"
+        if not want:
+            return False
+        from ..ops.charm_uniform import _fused_mode
+
+        return _fused_mode(hm) is not None
 
     def _charm_step_fn(self):
         """The single shape-uniform Charm decode program (see

@@ -494,6 +494,29 @@ class CodecProgramsMixin:
                 # symbol the int16 wire itself can carry)
                 sym = vals.reshape(idx.shape).astype(jnp.int16)
                 return sym, states, ptrs
+        elif name == "charm_loop":
+            # device-wire FUSED decode loop: all num_slices (lane-decode
+            # round, charm step) pairs as ONE lax.scan program — the serial
+            # path's ~2S async dispatches (each paying the relay's dispatch
+            # floor) collapse into one.  Output shapes feed the unchanged
+            # ``decode_final`` executable.  Only dispatched when the fused
+            # Pallas kernel carries the conv arithmetic (see
+            # codec_devicewire._use_fused_loop for the bit-safety contract).
+            from ..ops.charm_uniform import uniform_decode_loop
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+
+            def fn(params, hm, hs, support0, mu0, idx0, words, fix_pos,
+                   fix_val, fix_act, cdf, cdf_len, cdf_off, table):
+                return uniform_decode_loop(
+                    params["packed"], hm, hs, support0, mu0, idx0, words,
+                    fix_pos, fix_val, fix_act, cdf, cdf_len, cdf_off, table,
+                    bound, ns, sc, msup, actv)
         elif name == "decode_final":
             # fused tail: final slice reconstruction + full-latent concat +
             # synthesis transform in ONE dispatch

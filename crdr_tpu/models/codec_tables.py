@@ -44,6 +44,11 @@ class CodecTablesMixin:
         # the CRDR_PALLAS env var still overrides the config
         from ..ops.charm_uniform import set_fused_default
         set_fused_default(self.opt.get("fused_slice_kernel", None))
+        # fused whole-loop device-wire decode (one lax.scan program for all
+        # slices); only dispatched when the Pallas kernel is active — see
+        # codec_devicewire._use_fused_loop for the bit-safety contract
+        self.fused_decode_loop = bool(self.opt.get("fused_decode_loop",
+                                                   False))
 
         # wire format: "compressai" (default; byte-compatible serial streams)
         # or "device" (lane-interleaved rans32, entropy-decoded ON DEVICE so

@@ -262,3 +262,70 @@ def uniform_decode_step(packed: Dict[str, Array], slice_idx: Array,
         jnp.searchsorted(scale_table, sigma, side="left"),
         len(scale_table) - 1).astype(jnp.int32)
     return y_prev, support_buf, mu, sigma, indexes
+
+
+def uniform_decode_loop(packed: Dict[str, Array], hyper_mean: Array,
+                        hyper_scale: Array, support0: Array, mu0: Array,
+                        idx0: Array, words: Array, fix_pos: Array,
+                        fix_val: Array, fix_act: Array, cdf: Array,
+                        cdf_len: Array, cdf_off: Array, scale_table: Array,
+                        scale_bound: float, num_slices: int, slice_ch: int,
+                        max_support: int, actv: str = "relu"
+                        ) -> Tuple[Tuple[Array, ...], Array, Array, Array]:
+    """The WHOLE device-wire Charm decode loop as one ``lax.scan`` program.
+
+    Fuses the per-slice (lane-decode round, ``uniform_decode_step``) pairs —
+    ~2*num_slices separate dispatches on the serial path — into a single
+    compiled program: iteration ``i`` entropy-decodes round ``i`` with the
+    on-device lane coder (ops/device_rans.py) and runs the step for slice
+    ``i+1``.  Under a high-RTT relay each async dispatch still costs a
+    dispatch-floor fee; this removes all of them but one.
+
+    Bitstream-safety contract: the ENCODER replays the per-step
+    ``charm_uniform`` executable (codec_hostwire._compress_charm), so the
+    mu/sigma/indexes computed here — a DIFFERENT compiled program — must be
+    bit-identical to that executable's.  That holds when every non-exact op
+    is inside the fused Pallas SliceTransform kernel (compiled standalone by
+    Mosaic, byte-stable across call sites); everything outside is
+    elementwise f32 or exact integer (lane decoder invariants, searchsorted
+    comparisons).  Callers therefore gate this path on the fused-kernel mode
+    being active (codec_devicewire._use_fused_loop); with plain XLA convs
+    the per-step executables remain the decode path.
+
+    idx0/mu0/support0 come from the shared ``decode_begin`` executable.
+    Returns ``(y_slices, sym_last, mu_last, support)`` shaped exactly for
+    the existing ``decode_final`` executable: y_slices is a tuple of the
+    first ``num_slices - 1`` reconstructed slices; the last slice is left
+    to ``decode_final`` (the same program the host wire runs).
+    """
+    from .device_rans import (apply_fixups, expand_tables, init_lane_state,
+                              lane_decode_round)
+
+    n, h, w = hyper_mean.shape[:3]
+    m = h * w * slice_ch
+    states, ptrs = init_lane_state(words)
+
+    def body(carry, i):
+        states, ptrs, support, mu, idx = carry
+        rows, lens, offs = expand_tables(
+            idx.reshape(n, m), cdf, cdf_len, cdf_off)
+        vals, states, ptrs = lane_decode_round(
+            states, ptrs, words, rows, lens, offs, m)
+        vals = apply_fixups(vals, fix_pos, fix_val, fix_act, i * m, m)
+        # int16 round trip matches the rans_round executable's output dtype
+        sym = vals.reshape(idx.shape).astype(jnp.int16)
+        sym_f = sym.astype(hyper_mean.dtype)
+        y_prev, support, mu_next, _sigma, idx_next = uniform_decode_step(
+            packed, i + 1, hyper_mean, hyper_scale, support, sym_f, mu,
+            scale_table, scale_bound, num_slices, slice_ch, max_support,
+            actv)
+        # at i == num_slices - 1 the step's params are the documented
+        # garbage-at-last (support write masked); y_prev/emit stay valid
+        return (states, ptrs, support, mu_next, idx_next), (y_prev, sym, mu)
+
+    carry0 = (states, ptrs, support0, mu0,
+              idx0.astype(jnp.int32).reshape(mu0.shape))
+    (_, _, support, _, _), (ys, syms, mus) = jax.lax.scan(
+        body, carry0, jnp.arange(num_slices, dtype=jnp.int32))
+    y_slices = tuple(ys[i] for i in range(num_slices - 1))
+    return y_slices, syms[num_slices - 1], mus[num_slices - 1], support
