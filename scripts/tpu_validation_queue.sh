@@ -49,6 +49,14 @@ ENV_EXTRA=(CRDR_PALLAS=1)
 run bench_pallas 1200 python bench.py
 ENV_EXTRA=()
 
+# 3b. Fused whole-loop device-wire decode (one lax.scan program for the
+#     charm loop) on top of the promoted kernel — the round-4 dispatch-floor
+#     lever.  Promote `fused_decode_loop: True` if the device-wire medians
+#     win both paired windows (same protocol as the kernel promotion).
+ENV_EXTRA=(CRDR_FUSED_LOOP=1)
+run bench_fusedloop 1200 python bench.py
+ENV_EXTRA=()
+
 # Legs 4-6 need a trained checkpoint.  Checkpoints are gitignored and do not
 # survive a filesystem reset; if the real-data one is absent, rebuild a short
 # cold-start equivalent first (config/real_stage2_short.yaml, ~2k steps,
