@@ -182,6 +182,24 @@ class HostWireCodecMixin:
             })
         return results[0] if N == 1 else results
 
+    def _use_fused_encode_loop(self, hm) -> bool:
+        """Encode-side twin of codec_devicewire._use_fused_loop: the fused
+        encode scan is dispatched only when the Pallas SliceTransform kernel
+        carries the conv arithmetic, so its symbols/indexes are bit-identical
+        to the per-step replay chain (and to every decoder path).  Opt-in:
+        ``fused_encode_loop`` config key; env CRDR_FUSED_ENC_LOOP=1/0
+        overrides."""
+        import os
+
+        env = os.environ.get("CRDR_FUSED_ENC_LOOP")
+        want = bool(getattr(self, "fused_encode_loop", False)) \
+            if env is None else env == "1"
+        if not want:
+            return False
+        from ..ops.charm_uniform import _fused_mode
+
+        return _fused_mode(hm) is not None
+
     def _compress_charm(self, x, N: int, H: int, W: int, rate_ind):
         """Charm encode by FULL EXECUTABLE REPLAY of the decode chain.
 
@@ -228,23 +246,33 @@ class HostWireCodecMixin:
         hm, hs, support, mu, sigma, idx, z_hat = self._codec_fn(
             "decode_begin")(cp_params, z_sym16, table)
         ns = self.num_slices
-        step = self._charm_step_fn()
-        quant = self._codec_fn("quantize_slice")
-        syms, idxs, sigmas = [], [], []
-        y_slices: List[Array] = []
-        for i in range(ns):
-            sym = quant(y, jnp.int32(i), mu)
-            syms.append(sym)
-            idxs.append(idx)
-            sigmas.append(sigma)
-            if i < ns - 1:
-                y_prev, support, mu, sigma, idx = step(
-                    self._charm_packed, jnp.int32(i + 1), hm, hs,
-                    support, sym, mu, table)
-                y_slices.append(y_prev)
-        wire, y_hat = self._codec_fn("replay_pack")(
-            cp_params, hm, support, tuple(syms), tuple(idxs), tuple(sigmas),
-            tuple(y_slices), mu, z_sym16, pred_z_dev)
+        if self._use_fused_encode_loop(hm):
+            # ONE program for the whole slice loop (see ops/charm_uniform.
+            # uniform_encode_loop); replay_pack stays the shared executable
+            syms, idxs, sigmas, y_slices, mu_l, support = self._codec_fn(
+                "charm_encode_loop")(cp_params, y, hm, hs, support, mu,
+                                     sigma, idx, table)
+            wire, y_hat = self._codec_fn("replay_pack")(
+                cp_params, hm, support, syms, idxs, sigmas, y_slices,
+                mu_l, z_sym16, pred_z_dev)
+        else:
+            step = self._charm_step_fn()
+            quant = self._codec_fn("quantize_slice")
+            syms, idxs, sigmas = [], [], []
+            y_slices: List[Array] = []
+            for i in range(ns):
+                sym = quant(y, jnp.int32(i), mu)
+                syms.append(sym)
+                idxs.append(idx)
+                sigmas.append(sigma)
+                if i < ns - 1:
+                    y_prev, support, mu, sigma, idx = step(
+                        self._charm_packed, jnp.int32(i + 1), hm, hs,
+                        support, sym, mu, table)
+                    y_slices.append(y_prev)
+            wire, y_hat = self._codec_fn("replay_pack")(
+                cp_params, hm, support, tuple(syms), tuple(idxs),
+                tuple(sigmas), tuple(y_slices), mu, z_sym16, pred_z_dev)
         padH, padW = x.shape[1], x.shape[2]
         yH, yW = padH // self.y_stride, padW // self.y_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride

@@ -517,6 +517,24 @@ class CodecProgramsMixin:
                     params["packed"], hm, hs, support0, mu0, idx0, words,
                     fix_pos, fix_val, fix_act, cdf, cdf_len, cdf_off, table,
                     bound, ns, sc, msup, actv)
+        elif name == "charm_encode_loop":
+            # replay-encode counterpart of ``charm_loop``: the per-slice
+            # (quantize_slice, step) dispatch pairs as ONE lax.scan program,
+            # feeding the unchanged ``replay_pack`` executable.  Same
+            # bit-safety gate (codec_hostwire._use_fused_encode_loop).
+            from ..ops.charm_uniform import uniform_encode_loop
+
+            cm_opt = self.net.subnet_opt["context_model"]
+            actv = dict(cm_opt.get("slice_transform_kwargs") or {}) \
+                .get("actv", "relu")
+            bound = self.codec_y.scale_bound
+            ns, sc, msup = (self.num_slices, self.slice_ch,
+                            self.max_support_slices)
+
+            def fn(params, y, hm, hs, support0, mu0, sigma0, idx0, table):
+                return uniform_encode_loop(
+                    params["packed"], y, hm, hs, support0, mu0, sigma0,
+                    idx0, table, bound, ns, sc, msup, actv)
         elif name == "decode_final":
             # fused tail: final slice reconstruction + full-latent concat +
             # synthesis transform in ONE dispatch

@@ -49,6 +49,8 @@ class CodecTablesMixin:
         # codec_devicewire._use_fused_loop for the bit-safety contract
         self.fused_decode_loop = bool(self.opt.get("fused_decode_loop",
                                                    False))
+        self.fused_encode_loop = bool(self.opt.get("fused_encode_loop",
+                                                   False))
 
         # wire format: "compressai" (default; byte-compatible serial streams)
         # or "device" (lane-interleaved rans32, entropy-decoded ON DEVICE so

@@ -197,6 +197,52 @@ def uniform_encode_scan(packed: Dict[str, Array], y: Array, hyper_mean: Array,
     return unstack(mus), unstack(sigmas), unstack(y_hats)
 
 
+def uniform_encode_loop(packed: Dict[str, Array], y: Array, hyper_mean: Array,
+                        hyper_scale: Array, support0: Array, mu0: Array,
+                        sigma0: Array, idx0: Array, scale_table: Array,
+                        scale_bound: float, num_slices: int, slice_ch: int,
+                        max_support: int, actv: str = "relu"):
+    """The Charm REPLAY-ENCODE loop as one ``lax.scan`` program.
+
+    Same dispatch-collapse as :func:`uniform_decode_loop`, encode side: the
+    per-slice (``quantize_slice``, step-executable) pairs — ~2*num_slices
+    dispatches in ``_compress_charm`` — become one program.  The body calls
+    the very same :func:`uniform_decode_step` FUNCTION the decoder's
+    programs trace, and the quantize is the same round-around-mu arithmetic
+    as the ``quantize_slice`` executable; under the fused-Pallas-kernel
+    gate (all conv work byte-stable across programs, everything else
+    elementwise/exact) the emitted symbols/indexes/sigmas are bit-identical
+    to the per-step replay chain's — asserted byte-for-byte on the wire in
+    tests/test_fused_loop.py.
+
+    mu0/sigma0/idx0/support0 come from the shared ``decode_begin``
+    executable.  Returns ``(syms, idxs, sigmas, y_slices, mu_last,
+    support)`` shaped exactly for the existing ``replay_pack`` executable:
+    tuples of per-slice int16 symbols, uint8 indexes, bounded sigmas, and
+    the first ``num_slices - 1`` reconstructions.
+    """
+    def body(carry, i):
+        support, mu, sigma, idx = carry
+        y_slice = jax.lax.dynamic_slice_in_dim(y, i * slice_ch, slice_ch,
+                                               axis=3)
+        sym = jnp.round(y_slice - mu).astype(jnp.int16)
+        sym_f = sym.astype(hyper_mean.dtype)
+        y_prev, support, mu_next, sigma_next, idx_next = uniform_decode_step(
+            packed, i + 1, hyper_mean, hyper_scale, support, sym_f, mu,
+            scale_table, scale_bound, num_slices, slice_ch, max_support,
+            actv)
+        out = (sym, idx.astype(jnp.uint8), sigma, y_prev, mu)
+        return (support, mu_next, sigma_next, idx_next), out
+
+    carry0 = (support0, mu0, sigma0, idx0.astype(jnp.int32))
+    (support, _, _, _), (syms, idxs, sigmas, ys, mus) = jax.lax.scan(
+        body, carry0, jnp.arange(num_slices, dtype=jnp.int32))
+    to_tuple = lambda s, k: tuple(s[i] for i in range(k))
+    return (to_tuple(syms, num_slices), to_tuple(idxs, num_slices),
+            to_tuple(sigmas, num_slices), to_tuple(ys, num_slices - 1),
+            mus[num_slices - 1], support)
+
+
 def uniform_reconstruct_last(packed: Dict[str, Array], hyper_mean: Array,
                              support_buf: Array, sym_prev: Array,
                              mu_prev: Array, num_slices: int,

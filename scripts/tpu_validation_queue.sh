@@ -55,6 +55,8 @@ ENV_EXTRA=()
 #     win both paired windows (same protocol as the kernel promotion).
 ENV_EXTRA=(CRDR_FUSED_LOOP=1)
 run bench_fusedloop 1200 python bench.py
+ENV_EXTRA=(CRDR_FUSED_LOOP=1 CRDR_FUSED_ENC_LOOP=1)
+run bench_fusedboth 1200 python bench.py
 ENV_EXTRA=()
 
 # Legs 4-6 need a trained checkpoint.  Checkpoints are gitignored and do not

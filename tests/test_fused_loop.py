@@ -17,14 +17,25 @@ from tests.test_comp_model import tiny_opt
 pytestmark = pytest.mark.slow
 
 
-def _build(fused_loop: bool):
+_CACHE = {}
+
+
+def _build(fused_loop: bool, fused_enc: bool = False, wire: str = "device"):
+    # one model per config, shared across tests: the fused/env gates are
+    # consulted at compress/decompress time, so reuse is safe and saves a
+    # full build+compile per test
+    key = (fused_loop, fused_enc, wire)
+    if key in _CACHE:
+        return _CACHE[key]
     opt = tiny_opt()
-    opt["wire_format"] = "device"
+    opt["wire_format"] = wire
     opt["device_wire_lanes"] = 8
     opt["fused_decode_loop"] = fused_loop
+    opt["fused_encode_loop"] = fused_enc
     model = build_comp_model(opt)
     model.init_params(input_size=64)  # deterministic seed -> same params
     model.codec_setup()
+    _CACHE[key] = model
     return model
 
 
@@ -86,6 +97,37 @@ def test_fused_loop_roundtrip_bit_exact(x, monkeypatch):
     np.testing.assert_allclose(np.asarray(z_hat), np.asarray(enc["z_hat"]),
                                rtol=1e-5, atol=1e-5)
     assert fake.shape == x.shape and np.all(np.isfinite(fake))
+
+
+@pytest.mark.parametrize("wire", ["device", "compressai"])
+def test_fused_encode_loop_byte_identical_wire(x, monkeypatch, wire):
+    """The fused encode scan must emit EXACTLY the bytes of the per-step
+    replay chain — symbols, indexes, predicted bits, containers — on both
+    wire formats.  Byte equality is the whole promotion criterion: any
+    drift here is a silent RD change or a stream desync."""
+    monkeypatch.setenv("CRDR_PALLAS", "interp")
+    ref = _build(fused_loop=False, fused_enc=False, wire=wire)
+    fus = _build(fused_loop=False, fused_enc=True, wire=wire)
+    enc_ref = ref.compress(x, rate_ind=2.0)
+    enc_fus = fus.compress(x, rate_ind=2.0)
+    assert enc_ref["string_list"] == enc_fus["string_list"]
+    np.testing.assert_array_equal(np.asarray(enc_ref["y_hat"]),
+                                  np.asarray(enc_fus["y_hat"]))
+    # cross-decode: per-step decoder consumes the fused encoder's stream
+    fake, _, y_hat = ref.decompress(enc_fus["string_list"], beta=0.64)
+    np.testing.assert_array_equal(np.asarray(y_hat),
+                                  np.asarray(enc_fus["y_hat"]))
+    assert np.all(np.isfinite(fake))
+
+
+def test_fused_both_sides_roundtrip(x, monkeypatch):
+    """Fused encode -> fused decode, the full 4-dispatch codec."""
+    monkeypatch.setenv("CRDR_PALLAS", "interp")
+    model = _build(fused_loop=True, fused_enc=True)
+    enc = model.compress(x, rate_ind=1.5)
+    fake, _, y_hat = model.decompress(enc["string_list"], beta=1.28)
+    np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(enc["y_hat"]))
+    assert np.all(np.isfinite(fake))
 
 
 def test_fused_loop_batch_decompress(x2, monkeypatch):
