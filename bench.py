@@ -102,6 +102,36 @@ def _require_backend(timeout_s: float, metric: str) -> None:
     print(f"bench: devices {res['devices']}", file=sys.stderr, flush=True)
 
 
+def _probe_relay_link() -> dict:
+    """Measure host<->device link bandwidth with a 4 MB f32 buffer each way.
+
+    The TPU here sits behind a network relay whose d2h path has been observed
+    to collapse independently of h2d (2026-08-19/20: h2d ~230 MB/s while d2h
+    <0.5 MB/s for hours).  A throughput number taken in such a window is
+    honest but unexplainable without this context, so the probe's bandwidths
+    ride along in the JSON; ``relay_degraded`` flags either direction below
+    20 MB/s.  On CPU backends the copies are host-local and the flag stays
+    False."""
+    import jax
+
+    mb = 4.0
+    buf = np.zeros((int(mb * 1024 * 1024 // 4),), np.float32)
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    dev.block_until_ready()
+    h2d_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    np.asarray(dev)
+    d2h_s = time.perf_counter() - t1
+    h2d = mb / max(h2d_s, 1e-9)
+    d2h = mb / max(d2h_s, 1e-9)
+    return {
+        "relay_h2d_mb_s": round(h2d, 1),
+        "relay_d2h_mb_s": round(d2h, 1),
+        "relay_degraded": bool(min(h2d, d2h) < 20.0),
+    }
+
+
 def load_bench_images(batch: int, h: int, w: int) -> np.ndarray:
     """Photographic uint8 batch: the 3 reference demo images (Kodak), rotated
     landscape and cropped to (h, w), tiled over the batch.  Falls back to
@@ -254,6 +284,8 @@ def main():
     _honor_platform_env()
     _require_backend(float(os.environ.get("CRDR_BENCH_INIT_TIMEOUT", "600")),
                      metric)
+    link = _probe_relay_link()
+    print(f"bench: link probe {link}", file=sys.stderr, flush=True)
     print(f"bench: building model ({cfg_name}, tiny={tiny})...",
           file=sys.stderr, flush=True)
     model = _flagship_model(tiny=tiny, config_name=cfg_name)
@@ -371,6 +403,10 @@ def main():
         out[f"{pfx}{sched}_mpix_s"] = round(npix_batch / med / 1e6, 4)
         out[f"{pfx}{sched}_iqr_s"] = round(iqr, 4)
     out.update(extras)
+    out.update(link)
+    # relay conditions drift over a multi-minute bench; a second probe at
+    # the end bounds the window the legs actually ran under
+    out["relay_d2h_mb_s_end"] = _probe_relay_link()["relay_d2h_mb_s"]
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
