@@ -102,8 +102,8 @@ def _require_backend(timeout_s: float, metric: str) -> None:
     print(f"bench: devices {res['devices']}", file=sys.stderr, flush=True)
 
 
-def _probe_relay_link() -> dict:
-    """Measure host<->device link bandwidth with a 4 MB f32 buffer each way.
+def _probe_relay_link(timeout_s: float = 90.0) -> dict:
+    """Measure host<->device link bandwidth with a 4 MB buffer each way.
 
     The TPU here sits behind a network relay whose d2h path has been observed
     to collapse independently of h2d (2026-08-19/20: h2d ~230 MB/s while d2h
@@ -111,24 +111,53 @@ def _probe_relay_link() -> dict:
     honest but unexplainable without this context, so the probe's bandwidths
     ride along in the JSON; ``relay_degraded`` flags either direction below
     20 MB/s.  On CPU backends the copies are host-local and the flag stays
-    False."""
-    import jax
+    False.
 
-    mb = 4.0
-    buf = np.zeros((int(mb * 1024 * 1024 // 4),), np.float32)
-    t0 = time.perf_counter()
-    dev = jax.device_put(buf)
-    dev.block_until_ready()
-    h2d_s = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    np.asarray(dev)
-    d2h_s = time.perf_counter() - t1
-    h2d = mb / max(h2d_s, 1e-9)
-    d2h = mb / max(d2h_s, 1e-9)
+    Robustness (ADVICE r4): the measurement runs in a daemon thread with a
+    bounded join — in the documented collapse mode a single d2h pull can
+    take minutes or hang, and an unbounded probe would reintroduce the stall
+    ``_require_backend`` exists to prevent.  A small warmup roundtrip first
+    absorbs the one-time stream/allocator setup of a fresh process (measured
+    2026-08-20: first d2h ~80s, second 0.16s), the payload is random bytes
+    (a compressing relay would overstate bandwidth on zeros), and each
+    direction is the median of 2 transfers."""
+    import threading
+
+    res = {}
+
+    def probe():
+        import jax
+
+        warm = jax.device_put(np.ones((64, 1024), np.float32))
+        warm.block_until_ready()
+        np.asarray(warm)  # absorb cold-pull setup cost
+        mb = 4.0
+        buf = np.random.default_rng(0).integers(
+            0, 256, (int(mb * 1024 * 1024),), np.uint8).view(np.float32)
+        h2d_t, d2h_t = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            dev.block_until_ready()
+            h2d_t.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            np.asarray(dev)
+            d2h_t.append(time.perf_counter() - t1)
+        res["h2d"] = mb / max(float(np.median(h2d_t)), 1e-9)
+        res["d2h"] = mb / max(float(np.median(d2h_t)), 1e-9)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "d2h" not in res:
+        print(f"bench: link probe exceeded {timeout_s:.0f}s — relay "
+              "treated as degraded", file=sys.stderr, flush=True)
+        return {"relay_h2d_mb_s": round(res.get("h2d", 0.0), 1),
+                "relay_d2h_mb_s": 0.0, "relay_degraded": True}
     return {
-        "relay_h2d_mb_s": round(h2d, 1),
-        "relay_d2h_mb_s": round(d2h, 1),
-        "relay_degraded": bool(min(h2d, d2h) < 20.0),
+        "relay_h2d_mb_s": round(res["h2d"], 1),
+        "relay_d2h_mb_s": round(res["d2h"], 1),
+        "relay_degraded": bool(min(res["h2d"], res["d2h"]) < 20.0),
     }
 
 
@@ -265,6 +294,42 @@ def measure_flops(model, imgs) -> float | None:
     finally:
         model._aot_recorder = prev
     return counter.total_flops()
+
+
+def analytic_pallas_flops(model, batch: int, H: int, W: int) -> float:
+    """FLOPs the Pallas SliceTransform kernel executes per batch roundtrip.
+
+    XLA's ``cost_analysis`` cannot see inside Mosaic custom-calls, so when
+    the fused kernel carries the Charm conv math the recorder undercounts by
+    exactly these convolutions (VERDICT r4 weak #7: 812G vs 1418G per image
+    made ``mfu_pct`` incomparable across pallas/non-pallas configs).  Count
+    them analytically from the packed uniform weight shapes: per direction
+    (encode replays the decode chain, so both run it) each of the S slices
+    applies the mean, scale, and LRP transforms once at the UNIFORM padded
+    widths the hardware actually executes.  Returns 0.0 when the kernel
+    would not dispatch (CRDR_PALLAS/config off, CPU backend, latent too big
+    for VMEM)."""
+    if getattr(model, "_charm_packed", None) is None:
+        return 0.0
+    import jax
+
+    from crdr_tpu.ops.charm_uniform import _fused_mode
+
+    h, w = H // 16, W // 16  # flagship latent grid (4 stride-2 stages)
+    probe = jax.ShapeDtypeStruct((batch, h, w, 1), np.float32)
+    if _fused_mode(probe) != "1":
+        return 0.0
+    per_call = 0.0
+    for kind in ("mean", "scale", "lrp"):
+        cins = [int(model._charm_packed[f"{kind}{t}_w"].shape[-2])
+                for t in ("0", "2", "4")]
+        couts = [int(model._charm_packed[f"{kind}{t}_w"].shape[-1])
+                 for t in ("0", "2", "4")]
+        ks = (5, 5, 3)
+        per_call += sum(2.0 * h * w * k * k * ci * co
+                        for k, ci, co in zip(ks, cins, couts))
+    S = int(model.num_slices)
+    return float(batch * 2 * S * per_call)  # 2 = encode replay + decode
 
 
 def main():
@@ -405,8 +470,14 @@ def main():
     out.update(extras)
     out.update(link)
     # relay conditions drift over a multi-minute bench; a second probe at
-    # the end bounds the window the legs actually ran under
-    out["relay_d2h_mb_s_end"] = _probe_relay_link()["relay_d2h_mb_s"]
+    # the end bounds the window the legs actually ran under, and a collapse
+    # in EITHER probe demotes the headline (ADVICE r4: a mid-bench collapse
+    # must not leave relay_degraded: false)
+    link_end = _probe_relay_link()
+    out["relay_d2h_mb_s_end"] = link_end["relay_d2h_mb_s"]
+    out["relay_degraded_end"] = link_end["relay_degraded"]
+    out["relay_degraded"] = bool(out["relay_degraded"]
+                                 or link_end["relay_degraded"])
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -423,6 +494,10 @@ def main():
     if flops_batch:
         import jax
 
+        pallas_fl = analytic_pallas_flops(model, BATCH, H, W)
+        if pallas_fl:
+            flops_batch += pallas_fl
+            out["pallas_analytic_flops_per_image"] = round(pallas_fl / BATCH)
         out["flops_per_image"] = round(flops_batch / BATCH)
         kind = jax.devices()[0].device_kind.lower()
         for sub, peak, prec in _PEAK_FLOPS:
@@ -432,6 +507,19 @@ def main():
                 out["mfu_peak_assumption"] = f"{peak / 1e12:.0f}T {prec} " \
                                              f"({kind})"
                 break
+
+    if out["relay_degraded"]:
+        # VERDICT r4 item 6: a driver-of-record headline taken while the
+        # link probe fails its own threshold is luck, not protocol — demote
+        # it (and the ratios derived from it).  `value` stays for healthy
+        # windows only.
+        out["degraded"] = True
+        out["degraded_value"] = out["value"]
+        out["value"] = 0.0
+        for k in ("vs_baseline", "vs_torch_cpu"):
+            if k in out:
+                out[f"degraded_{k}"] = out[k]
+                out[k] = 0.0
 
     print(json.dumps(out))
 

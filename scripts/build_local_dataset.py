@@ -3,20 +3,29 @@ this image (no network).
 
 The reference trains on ~1.1M OpenImages photos (docs/training.md); this
 environment ships exactly 3 photographic images (the reference demo set), so
-endurance training so far `repeat`-oversampled those 3.  This script scans
-the installed packages' texture/photo assets (labmaze wall/floor textures,
-dm_control / gymnasium-robotics material textures, matplotlib's
-grace_hopper, pygame examples, ...), keeps images with natural-image
+endurance training before round 4 `repeat`-oversampled those 3.  This script
+scans the installed packages' texture/photo assets (labmaze wall/floor
+textures, dm_control / gymnasium-robotics material textures, matplotlib's
+grace_hopper, pygame examples, ...), keeps sources with natural-image
 statistics, and splits them into train/eval sets under ``data_local/``
 (gitignored) with a provenance manifest.
 
-Filters: >= 256px on both sides, RGB-convertible, neighbour-gradient
-statistics in the photographic band (0.3 <= mean|dx| <= 25 on [0,255]),
-global std >= 15 (not flat), and a flat-area screen (frac(|dx|<0.5) <= 0.85)
-that drops synthetic plots/diagrams with large constant regions.  Exact
-duplicates (lib/lib64 mirrors) collapse by content hash.
+Two-level curation (round 5):
 
-    python scripts/build_local_dataset.py [--out data_local] [--eval_n 16]
+1. **Source screen** — >= 256px on both sides, RGB-convertible,
+   neighbour-gradient statistics in the photographic band
+   (0.3 <= mean|dx| <= 25 on [0,255]), global std >= 15 (not flat), and a
+   mode-color screen (<= 25% of subsampled pixels share one exact color)
+   that drops synthetic plots/diagrams.  Exact duplicates (lib/lib64
+   mirrors) collapse by content hash.
+2. **Tiling** — large sources are cut into non-overlapping tiles (target
+   384px, never below 256px), each tile re-screened by the same
+   photographic filter and content-hash-deduplicated.  Tiles from ONE
+   source always land in ONE split (no train/eval leakage), and the
+   manifest records both the source path and the tile box, so the
+   distinct-source count stays honest next to the distinct-file count.
+
+    python scripts/build_local_dataset.py [--out data_local] [--eval_srcs 8]
 """
 
 from __future__ import annotations
@@ -33,8 +42,9 @@ from PIL import Image
 ROOTS = (
     "/opt/venv/lib/python3.12/site-packages",
     "/usr/share",
+    "/usr/lib",
 )
-EXTS = ("png", "jpg", "jpeg")
+EXTS = ("png", "jpg", "jpeg", "bmp", "tif", "tiff", "ppm", "webp")
 
 
 def photographic(a: np.ndarray):
@@ -55,11 +65,25 @@ def photographic(a: np.ndarray):
                 "mode_frac": round(mode_frac, 3)}
 
 
+def tile_boxes(h: int, w: int, target: int, min_px: int):
+    """Non-overlapping grid covering (h, w); every tile >= min_px a side."""
+    ny = max(1, min(h // target, h // min_px))
+    nx = max(1, min(w // target, w // min_px))
+    hs, ws = h // ny, w // nx
+    for iy in range(ny):
+        for ix in range(nx):
+            y1 = (iy + 1) * hs if iy < ny - 1 else h
+            x1 = (ix + 1) * ws if ix < nx - 1 else w
+            yield iy * hs, ix * ws, y1, x1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data_local")
-    ap.add_argument("--eval_n", type=int, default=16)
+    ap.add_argument("--eval_srcs", type=int, default=8,
+                    help="number of SOURCE images whose tiles form eval/")
     ap.add_argument("--min_px", type=int, default=256)
+    ap.add_argument("--tile", type=int, default=384)
     args = ap.parse_args(argv)
 
     cands = []
@@ -68,10 +92,10 @@ def main(argv=None):
             cands += glob.glob(f"{root}/**/*.{ext}", recursive=True)
     cands.sort()
 
-    kept, seen = [], set()
+    sources, seen_src = [], set()
     for p in cands:
         try:
-            if os.path.getsize(p) < 40_000:
+            if os.path.getsize(p) < 10_000:
                 continue
             im = Image.open(p)
             if im.size[0] < args.min_px or im.size[1] < args.min_px:
@@ -80,34 +104,52 @@ def main(argv=None):
         except Exception:
             continue
         digest = hashlib.sha256(a.tobytes()).hexdigest()
-        if digest in seen:
+        if digest in seen_src:
             continue
-        seen.add(digest)
+        seen_src.add(digest)
         ok, stats = photographic(a)
         if ok:
-            kept.append((digest, p, im.size, stats))
+            sources.append((digest, p, a, stats))
 
     os.makedirs(os.path.join(args.out, "train"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "eval"), exist_ok=True)
-    # deterministic split: order by content hash, every k-th goes to eval
-    kept.sort(key=lambda t: t[0])
-    k = max(1, len(kept) // max(1, args.eval_n))
-    manifest = []
-    for i, (digest, p, size, stats) in enumerate(kept):
-        split = "eval" if (i % k == 0 and
-                           sum(m["split"] == "eval" for m in manifest)
-                           < args.eval_n) else "train"
-        name = f"{digest[:12]}.png"
-        dst = os.path.join(args.out, split, name)
-        if not os.path.exists(dst):
-            Image.open(p).convert("RGB").save(dst)
-        manifest.append({"file": f"{split}/{name}", "source": p,
-                         "size": list(size), "split": split, **stats})
+    # deterministic source-level split: order by content hash, first
+    # eval_srcs go to eval — all tiles of a source share its split.
+    sources.sort(key=lambda t: t[0])
+    manifest, seen_tile = [], set()
+    for si, (digest, p, a, src_stats) in enumerate(sources):
+        split = "eval" if si < args.eval_srcs else "train"
+        h, w = a.shape[:2]
+        for y0, x0, y1, x1 in tile_boxes(h, w, args.tile, args.min_px):
+            t = a[y0:y1, x0:x1]
+            tdig = hashlib.sha256(t.tobytes()).hexdigest()
+            if tdig in seen_tile:
+                continue
+            ok, stats = photographic(t)
+            if not ok:
+                continue
+            seen_tile.add(tdig)
+            name = f"{tdig[:12]}.png"
+            dst = os.path.join(args.out, split, name)
+            if not os.path.exists(dst):
+                Image.fromarray(t.astype(np.uint8)).save(dst)
+            manifest.append({"file": f"{split}/{name}", "source": p,
+                             "tile": [y0, x0, y1, x1],
+                             "size": [x1 - x0, y1 - y0],
+                             "split": split, **stats})
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     n_eval = sum(m["split"] == "eval" for m in manifest)
-    print(f"kept {len(kept)} images -> {len(kept) - n_eval} train / "
-          f"{n_eval} eval under {args.out}/ (manifest.json has provenance)")
+    n_train = len(manifest) - n_eval
+    n_train_src = len({m["source"] for m in manifest if m["split"] == "train"})
+    summary = {"sources_kept": len(sources),
+               "train_files": n_train, "train_sources": n_train_src,
+               "eval_files": n_eval,
+               "eval_sources": len(sources) - n_train_src
+               if len(sources) else 0}
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

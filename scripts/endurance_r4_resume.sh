@@ -8,9 +8,12 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/endurance_r4
 SUM=/tmp/endurance_r4/summary.log
 
-probe() {  # 32MB d2h must come back in < 8s
-  timeout 120 python - <<'EOF'
+probe() {  # 32MB d2h must come back in < 8s (after one warmup pull —
+           # the first d2h of a fresh process pays a one-time setup cost)
+  timeout 300 python - <<'EOF'
 import time, numpy as np, jax
+w = jax.device_put(np.zeros((256, 256), np.float32)); w.block_until_ready()
+_ = np.asarray(w)  # warmup: absorb the cold-pull setup cost
 x = jax.device_put(np.zeros((8, 1024, 1024), np.float32))
 x.block_until_ready()
 t0 = time.time(); _ = np.asarray(x); dt = time.time() - t0
@@ -49,6 +52,8 @@ leg() {  # leg <name> <timeout-s> <ckpt> <cmd...>
   [ -f "$ckpt" ] || { echo "!!! $name still missing $ckpt" | tee -a "$SUM"; exit 1; }
 }
 
+leg stage1 11000 checkpoint/endurance_r4_stage1/model/comp_model_iter15K.ckpt \
+    python scripts/train.py config/endurance_r4_stage1.yaml --auto_resume
 leg stage2 11000 checkpoint/endurance_r4_stage2/model/comp_model_iter15K.ckpt \
     python scripts/train.py config/endurance_r4_stage2.yaml --auto_resume
 leg stage3 16000 checkpoint/endurance_r4_stage3/model/comp_model_iter20K.ckpt \

@@ -151,6 +151,75 @@ def install_shims() -> None:
         m.ms_ssim = _unavailable
         sys.modules["pytorch_msssim"] = m
 
+    if "lpips" not in sys.modules:
+        # Random-init architecture clone of lpips.LPIPS(net='alex') (the
+        # package and its weights are not downloadable in this image).
+        # FLOP- and graph-identical to the real thing, so the reference's
+        # stage-1/2/3 perceptual term runs at its true cost — used by
+        # scripts/measure_torch_train_baseline.py.  Mirrors the tap/lin/
+        # normalize structure of crdr_tpu/metrics/lpips.py (itself a port of
+        # reference src/losses/perceptual_loss.py:11-30 semantics).
+        import torch as _torch
+        import torch.nn as _tnn
+        import torch.nn.functional as _tF
+
+        class _AlexFeats(_tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv0 = _tnn.Conv2d(3, 64, 11, 4, 2)
+                self.conv3 = _tnn.Conv2d(64, 192, 5, 1, 2)
+                self.conv6 = _tnn.Conv2d(192, 384, 3, 1, 1)
+                self.conv8 = _tnn.Conv2d(384, 256, 3, 1, 1)
+                self.conv10 = _tnn.Conv2d(256, 256, 3, 1, 1)
+
+            def forward(self, x):
+                taps = []
+                x = _tF.relu(self.conv0(x))
+                taps.append(x)
+                x = _tF.max_pool2d(x, 3, 2)
+                x = _tF.relu(self.conv3(x))
+                taps.append(x)
+                x = _tF.max_pool2d(x, 3, 2)
+                x = _tF.relu(self.conv6(x))
+                taps.append(x)
+                x = _tF.relu(self.conv8(x))
+                taps.append(x)
+                x = _tF.relu(self.conv10(x))
+                taps.append(x)
+                return taps
+
+        class _ShimLPIPS(_tnn.Module):
+            def __init__(self, net: str = "alex", **_kw):
+                super().__init__()
+                assert net == "alex", "shim implements the alex variant only"
+                self.feats = _AlexFeats()
+                self.lins = _tnn.ModuleList(
+                    [_tnn.Conv2d(c, 1, 1, bias=False)
+                     for c in (64, 192, 384, 256, 256)])
+                self.register_buffer(
+                    "shift",
+                    _torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1))
+                self.register_buffer(
+                    "scale",
+                    _torch.tensor([.458, .448, .450]).view(1, 3, 1, 1))
+
+            def forward(self, x, y, normalize: bool = False):
+                if normalize:  # [0,1] -> [-1,1], like the real package
+                    x = 2 * x - 1
+                    y = 2 * y - 1
+                fx = self.feats((x - self.shift) / self.scale)
+                fy = self.feats((y - self.shift) / self.scale)
+                tot = 0.0
+                for f1, f2, lin in zip(fx, fy, self.lins):
+                    n1 = f1 / (f1.norm(dim=1, keepdim=True) + 1e-10)
+                    n2 = f2 / (f2.norm(dim=1, keepdim=True) + 1e-10)
+                    tot = tot + lin((n1 - n2) ** 2).mean((2, 3), keepdim=True)
+                return tot
+
+        m = types.ModuleType("lpips")
+        m.LPIPS = _ShimLPIPS
+        sys.modules["lpips"] = m
+
     if "compressai" not in sys.modules:
         from . import compressai_shim as cs
 

@@ -182,3 +182,70 @@ def test_bitstream_byte_parity_and_cross_decode(pair):
                                rtol=1e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(fake_j), _n(fake_t),
                                rtol=1e-3, atol=2e-3)
+
+
+# --- operating-point matrix (VERDICT r4 item 3) -------------------------
+#
+# Byte parity at one point (Q=1.5, 64x64) can break at the InterpCA integer
+# endpoints (interp_channel_attention.py:39-66: floor==ceil path at q=0/4),
+# at the reflect-pad/crop boundary (base_model.py:137-167: sizes not a
+# multiple of the stride 64), in the MultiRateHeaderHandler rate-ind byte
+# (codec_utils.py:81-125), or only at batch>1.  Sweep those axes; every
+# point asserts full [header, z, y] byte identity plus a reference
+# cross-decode of our stream at the given beta (the beta axis cannot move
+# the bitstream — it is decode-side only — so it rides the decode check).
+_MATRIX = [
+    # (q, beta, (H, W), label)
+    (0.0, 0.0, (64, 64), "q-endpoint-low, beta off"),
+    (4.0, 5.12, (64, 64), "q-endpoint-high, max beta"),
+    (1.5, 2.56, (64, 128), "non-square, no pad"),
+    (2.25, 2.56, (100, 96), "reflect-pad path both axes, non-square"),
+    (3.0, 1.28, (96, 160), "pad one axis only"),
+]
+
+
+@pytest.mark.parametrize("q,beta,size,label", _MATRIX,
+                         ids=[m[3] for m in _MATRIX])
+def test_bitstream_parity_matrix(pair, q, beta, size, label):
+    ref, ours, _ = pair
+    ref.codec_setup()
+    ours.codec_setup()
+    H, W = size
+    rng = np.random.default_rng(int(q * 16) + H + W)
+    img = (rng.random((1, H, W, 3), np.float32) * 2.0 - 1.0)
+
+    with torch.no_grad():
+        ref_out = ref.compress(_t(img), rate_ind=q)
+    our_out = ours.compress(img, rate_ind=q)
+    for name, o, r in zip(("header", "z", "y"), our_out["string_list"],
+                          ref_out["string_list"]):
+        assert bytes(o) == bytes(r), f"{label}: {name} bytes differ"
+
+    with torch.no_grad():
+        fake_t, _, y_hat_t = ref.decompress(
+            [bytes(s) for s in our_out["string_list"]], beta=beta)
+    fake_j, _, y_hat_j = ours.decompress(our_out["string_list"], beta=beta)
+    np.testing.assert_allclose(np.asarray(y_hat_j), _n(y_hat_t),
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(fake_j), _n(fake_t),
+                               rtol=1e-3, atol=2e-3)
+    assert fake_j.shape[1:3] == (H, W), "decode did not crop to source size"
+
+
+def test_bitstream_parity_batch2(pair):
+    """compress_batch streams must equal the reference's one-at-a-time
+    encodes (per-image rANS streams are independent; reference compress
+    asserts batch 1 — hyperprior_model.py:141 — so it loops)."""
+    ref, ours, _ = pair
+    ref.codec_setup()
+    ours.codec_setup()
+    rng = np.random.default_rng(7)
+    imgs = (rng.random((2, 64, 64, 3), np.float32) * 2.0 - 1.0)
+
+    our_outs = ours.compress_batch(imgs, rate_ind=1.5)
+    for i, our_out in enumerate(our_outs):
+        with torch.no_grad():
+            ref_out = ref.compress(_t(imgs[i:i + 1]), rate_ind=1.5)
+        for name, o, r in zip(("header", "z", "y"), our_out["string_list"],
+                              ref_out["string_list"]):
+            assert bytes(o) == bytes(r), f"img{i}: {name} bytes differ"
