@@ -39,6 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(_HERE, "BASELINE_CPU.json")
 BASELINE_TORCH_FILE = os.path.join(_HERE, "BASELINE_TORCH.json")
+BASELINE_TORCH_TRAIN_FILE = os.path.join(_HERE, "BASELINE_TORCH_TRAIN.json")
+TRAIN_BENCH_FILE = os.path.join(_HERE, "docs", "artifacts",
+                                "train_bench_latest.json")
 DEMO_DIR = "/root/reference/demo_images"
 METRIC_VERSION = 3
 
@@ -490,6 +493,25 @@ def main():
             tbase = json.load(f)
         if tbase.get("mpixel_s"):
             out["vs_torch_cpu"] = round(mpix_s / tbase["mpixel_s"], 3)
+    # training axis (VERDICT r4 item 7): our measured TPU train-step rate
+    # (scripts/bench_train.py writes docs/artifacts/train_bench_latest.json
+    # when run on the chip — a committed measurement, so it is labeled with
+    # its own provenance fields rather than presented as taken this run)
+    # over the reference source's optimize_parameters on torch-CPU
+    # (scripts/measure_torch_train_baseline.py -> BASELINE_TORCH_TRAIN.json)
+    if (os.path.exists(TRAIN_BENCH_FILE)
+            and os.path.exists(BASELINE_TORCH_TRAIN_FILE)):
+        with open(TRAIN_BENCH_FILE) as f:
+            tb = json.load(f)
+        with open(BASELINE_TORCH_TRAIN_FILE) as f:
+            tt = json.load(f)
+        if tb.get("steps_per_s") and tt.get("steps_per_s"):
+            out["train_steps_s_committed"] = tb["steps_per_s"]
+            out["train_bench_provenance"] = \
+                f"{tb.get('stage', '?')}@{tb.get('hardware', '?')}, " \
+                f"{tb.get('date', '?')}"
+            out["vs_torch_cpu_train"] = round(
+                tb["steps_per_s"] / tt["steps_per_s"], 3)
 
     if flops_batch:
         import jax

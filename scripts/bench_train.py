@@ -55,13 +55,43 @@ def main(argv=None):
     data = next(iter(trainer.train_loader))
     print("compiling train step...", flush=True)
     trainer.optimize_parameters(1, data)
+    import jax
+
     t0 = time.time()
+    out = None
     for i in range(args.iters):
-        trainer.optimize_parameters(i + 2, data)
+        out = trainer.optimize_parameters(i + 2, data)
+    if out is not None:  # close the async-dispatch window before stopping
+        jax.block_until_ready(jax.tree.leaves(out))
     dt = (time.time() - t0) / args.iters
     print(f"stage {args.stage} batch {args.batch} size {args.size} "
           f"mixed={args.mixed}: {dt:.3f}s/step = {1 / dt:.2f} steps/s "
           f"({args.batch / dt:.1f} img/s)", flush=True)
+
+    # committed measurement consumed by bench.py's vs_torch_cpu_train
+    # (labeled with provenance there; see BASELINE_TORCH_TRAIN.json for the
+    # reference-source denominator)
+    import datetime
+    import json
+
+    blob = {
+        "steps_per_s": round(1.0 / dt, 4),
+        "seconds_per_step": round(dt, 4),
+        "images_per_s": round(args.batch / dt, 2),
+        "stage": args.stage, "batch": args.batch, "size": args.size,
+        "mixed_precision": bool(args.mixed), "iters": args.iters,
+        "hardware": str(jax.devices()[0].device_kind),
+        "date": datetime.date.today().isoformat(),
+    }
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "artifacts",
+        "train_bench_latest.json")
+    if os.environ.get("CRDR_TRAIN_BENCH_WRITE", "1") == "1" \
+            and jax.devices()[0].platform != "cpu":
+        with open(art, "w") as f:
+            json.dump(blob, f, indent=2)
+        print(f"wrote {art}", flush=True)
+    print(json.dumps(blob), flush=True)
 
 
 if __name__ == "__main__":

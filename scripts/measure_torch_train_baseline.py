@@ -86,14 +86,15 @@ def main(argv=None):
     try:
         sys.argv = ["train.py", "/root/reference/config/crdr_stage_1.yaml",
                     "-d", "cpu", "-b", str(args.batch)]
-        opt = TrainConfig.get_opt()
+        opt = TrainConfig.get_opt("/root/reference/config")
     finally:
         sys.argv = old_argv
     opt["dataset"]["train_dataset"] = {
         "name": "openimage", "type": "ImageDataset",
         "root_dir": data_root, "subset_list": [0], "image_size": 256}
     opt["dataset"]["eval_dataset"] = {
-        "name": "openimage", "type": "ImageDataset", "root_dir": data_root}
+        "name": "openimage", "type": "ImageDataset", "root_dir": data_root,
+        "subset_list": [0]}
 
     from src.trainer import build_trainer  # noqa: E402
     from src.utils.path import PathHandler  # noqa: E402

@@ -149,7 +149,97 @@ def install_shims() -> None:
 
         m.ssim = _unavailable
         m.ms_ssim = _unavailable
+
+        class _MSSSIM:  # import-time name only (distortion_loss.py:7);
+            def __init__(self, *a, **k):  # building MSSSIMLoss is not
+                _unavailable()            # under test
+
+        m.MS_SSIM = _MSSSIM
+        m.SSIM = _MSSSIM
         sys.modules["pytorch_msssim"] = m
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401 — real one, if ever installed
+        except ImportError:
+            # Minimal PIL/numpy implementations of the four transforms
+            # src/dataset/data_transform.py:35-39 composes.  Semantics match
+            # torchvision (reflect pad_if_needed crop, p=0.5 hflip, [0,1]
+            # CHW ToTensor, per-channel Normalize); RNG streams differ,
+            # which only matters for crop *positions*, not statistics.
+            import numpy as _np
+            import torch as _torch
+            from PIL import Image as _Image
+
+            class _RandomCrop:
+                def __init__(self, size, pad_if_needed=False,
+                             padding_mode="reflect"):
+                    self.th, self.tw = (size, size) if isinstance(size, int) \
+                        else tuple(size)
+                    self.pad_if_needed = pad_if_needed
+                    self.padding_mode = padding_mode
+
+                def __call__(self, img):
+                    a = _np.asarray(img)
+                    h, w = a.shape[:2]
+                    ph, pw = max(self.th - h, 0), max(self.tw - w, 0)
+                    if self.pad_if_needed and (ph or pw):
+                        a = _np.pad(a, ((0, ph), (0, pw), (0, 0)),
+                                    mode=self.padding_mode)
+                        h, w = a.shape[:2]
+                    top = _np.random.randint(0, h - self.th + 1)
+                    left = _np.random.randint(0, w - self.tw + 1)
+                    return _Image.fromarray(
+                        a[top:top + self.th, left:left + self.tw])
+
+            class _RandomHorizontalFlip:
+                def __init__(self, p=0.5):
+                    self.p = p
+
+                def __call__(self, img):
+                    if _np.random.random() < self.p:
+                        return _Image.fromarray(
+                            _np.asarray(img)[:, ::-1].copy())
+                    return img
+
+            class _ToTensor:
+                def __call__(self, img):
+                    a = _np.asarray(img, _np.float32) / 255.0
+                    return _torch.from_numpy(a.transpose(2, 0, 1).copy())
+
+            class _Normalize:
+                def __init__(self, mean, std):
+                    self.mean = _torch.tensor(mean).view(-1, 1, 1)
+                    self.std = _torch.tensor(std).view(-1, 1, 1)
+
+                def __call__(self, t):
+                    return (t - self.mean) / self.std
+
+            tv = types.ModuleType("torchvision")
+            tr = types.ModuleType("torchvision.transforms")
+            tr.RandomCrop = _RandomCrop
+            tr.RandomHorizontalFlip = _RandomHorizontalFlip
+            tr.ToTensor = _ToTensor
+            tr.Normalize = _Normalize
+            tv.transforms = tr
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tr
+
+    if "wandb" not in sys.modules:
+        try:
+            import wandb  # noqa: F401 — real one, if ever installed
+        except ImportError:
+            # import-time name for src/trainer/base_trainer.py:6; only
+            # used when opt.use_wandb, which shim-driven runs never set
+            m = types.ModuleType("wandb")
+
+            def _no_wandb(*a, **k):
+                raise RuntimeError("wandb is shimmed import-only")
+
+            m.init = _no_wandb
+            m.log = _no_wandb
+            m.Settings = _no_wandb
+            sys.modules["wandb"] = m
 
     if "lpips" not in sys.modules:
         # Random-init architecture clone of lpips.LPIPS(net='alex') (the
