@@ -10,7 +10,7 @@ SUM=/tmp/endurance_r4/summary.log
 
 probe() {  # 32MB d2h must come back in < 8s (after one warmup pull —
            # the first d2h of a fresh process pays a one-time setup cost)
-  timeout 300 python - <<'EOF'
+  timeout 600 python - <<'EOF'
 import time, numpy as np, jax
 w = jax.device_put(np.zeros((256, 256), np.float32)); w.block_until_ready()
 _ = np.asarray(w)  # warmup: absorb the cold-pull setup cost

@@ -9,8 +9,10 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/post_r4
 
-if [ -f /tmp/endurance.pid ]; then
-  EPID=$(cat /tmp/endurance.pid)
+PIDFILE=/tmp/endurance.pid
+[ -f /tmp/endurance_driver.pid ] && PIDFILE=/tmp/endurance_driver.pid
+if [ -f "$PIDFILE" ]; then
+  EPID=$(cat "$PIDFILE")
   echo "waiting for endurance chain (pid $EPID)..." | tee -a /tmp/post_r4/summary.log
   while kill -0 "$EPID" 2>/dev/null; do sleep 60; done
 fi
