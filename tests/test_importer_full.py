@@ -156,7 +156,9 @@ def _torch_flagship_state(opt):
     return sd, td
 
 
-def test_full_flagship_strict_import_and_decoder_parity():
+@pytest.mark.slow  # 58s on the 1-core CI host (r5 fast-tier triage); the
+def test_full_flagship_strict_import_and_decoder_parity():  # small-subnet
+    # importer parity tests in test_importer.py keep fast-tier coverage
     opt = tiny_opt()
     model = build_comp_model(opt)
     model.init_params(input_size=64)
