@@ -61,4 +61,14 @@ else
   echo "no stage-3 ckpt ($CKPT) — skipping RD legs" | tee -a /tmp/post_r4/summary.log
 fi
 
+# 5. (r5) Fused whole-loop A/B repeat in what is hopefully a healthier
+#    window than the 10:00 promotion run — targets: pipelined >= 2.0
+#    Mpix/s, batch-1 < 300 ms (VERDICT r4 item 2 "Done =" criteria).
+run ab_fused 2400 python scripts/ab_fused_loop.py \
+    --out /tmp/post_r4/ab_fused_loop.json
+
+# 6. (r5) Train-step rate on the chip -> docs/artifacts/train_bench_latest
+#    .json, the numerator of bench.py's vs_torch_cpu_train.
+run bench_train 1800 python scripts/bench_train.py --stage 1 --mixed
+
 echo "=== post queue done ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
