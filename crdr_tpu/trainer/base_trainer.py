@@ -144,19 +144,49 @@ class BaseTrainer:
         bolded_log("train_loop start", new_line=True)
         self.opt.path and self._dump_config()
         self.time_recorder.start()
+        # lazy logging: steps return device scalars; one batched host pull
+        # per log boundary instead of a sync every iteration (keeps the
+        # step pipeline async and shrinks the relay-wedge surface 100x)
+        lazy = (hasattr(self, "optimize_parameters_device")
+                and bool(self.opt.get("lazy_log", True)))
+        self._pending_logs = []
         for itr, data in cycle(self.train_loader, self.opt.start_iter,
                                self.opt.total_iter):
-            loss_dict = self.optimize_parameters(itr, data)
-            if loss_dict is not None:
-                self.loss_recorder.update(loss_dict)
+            if lazy:
+                self._pending_logs.append(
+                    (itr, self.optimize_parameters_device(itr, data)))
+            else:
+                loss_dict = self.optimize_parameters(itr, data)
+                if loss_dict is not None:
+                    self.loss_recorder.update(loss_dict)
             if itr % self.opt.log_step == 0:
+                self._flush_device_logs()
                 self.log_train_loss(itr)
             if itr % self.opt.eval_step == 0:
+                self._flush_device_logs()
                 self.validation(itr)
             if itr % self.opt.save_step == 0:
+                self._flush_device_logs()
                 self.save(itr)
             if itr % self.opt.get("time_step", 1000) == 0:
                 self.log_time(itr)
+        self._flush_device_logs()
+
+    def _flush_device_logs(self) -> None:
+        """Batched host pull of the accumulated per-step device logs; the
+        NaN-skip warning moves here (the jitted step already guarded the
+        state update — the Python side only reports)."""
+        pending = getattr(self, "_pending_logs", None)
+        if not pending:
+            return
+        self._pending_logs = []
+        for itr, row in zip([p[0] for p in pending],
+                            jax.device_get([p[1] for p in pending])):
+            row = {k: float(v) for k, v in row.items()}
+            if row.pop("skipped", 0.0) > 0:
+                self.logger.warning(f"iter{itr}: skipped (loss anomaly)")
+                continue
+            self.loss_recorder.update(row)
 
     def _dump_config(self) -> None:
         try:

@@ -165,7 +165,13 @@ class RateDistortionTrainer(BaseTrainer):
 
         return self._jit_step(step_fn)
 
-    def optimize_parameters(self, itr: int, data: Dict) -> Optional[Dict]:
+    def optimize_parameters_device(self, itr: int, data: Dict) -> Dict:
+        """One fused optimization step; returns the log dict as DEVICE
+        scalars (no host sync).  The train loop accumulates these and
+        flushes them in one batched ``device_get`` at every log boundary
+        (base_trainer._flush_device_logs) — per-iter host pulls both
+        serialize the step pipeline and are the exact point a wedged
+        relay freezes training (endurance_r5 stall postmortems)."""
         if not hasattr(self, "_step_fn"):
             self._step_fn = self._make_step()
         model = self.comp_model
@@ -180,6 +186,10 @@ class RateDistortionTrainer(BaseTrainer):
         self.state, log = self._step_fn(self.state, batch, rate_ind, beta,
                                         self.next_rng(), mults,
                                         self._loss_consts())
+        return log
+
+    def optimize_parameters(self, itr: int, data: Dict) -> Optional[Dict]:
+        log = self.optimize_parameters_device(itr, data)
         log = {k: float(np.asarray(v)) for k, v in log.items()}
         if log.pop("skipped", 0.0) > 0:
             self.logger.warning(f"iter{itr}: skipped (loss anomaly)")
