@@ -474,7 +474,10 @@ class CodecProgramsMixin:
             # Integer-exact by construction (see ops/device_rans.py), so it
             # adds no cross-program float risk to the bitstream contract.
             from ..ops.device_rans import (apply_fixups, expand_tables,
-                                           init_lane_state, lane_decode_round)
+                                           init_lane_state,
+                                           instep_tables_enabled,
+                                           lane_decode_round,
+                                           lane_decode_round_instep)
 
             def fn(states, ptrs, words, idx, fix_pos, fix_val, fix_act, lo,
                    cdf, cdf_len, cdf_off):
@@ -482,10 +485,17 @@ class CodecProgramsMixin:
                 m = int(np.prod(idx.shape[1:]))
                 if states is None:  # first round: seed lanes from the words
                     states, ptrs = init_lane_state(words)
-                rows, lens, offs = expand_tables(
-                    idx.reshape(n_, m), cdf, cdf_len, cdf_off)
-                vals, states, ptrs = lane_decode_round(
-                    states, ptrs, words, rows, lens, offs, m)
+                if instep_tables_enabled():  # see ops/device_rans.py: the
+                    # bandwidth-lean form (rows expanded per scan step from
+                    # the VMEM-class table; bit-identical by construction)
+                    vals, states, ptrs = lane_decode_round_instep(
+                        states, ptrs, words, idx.reshape(n_, m), cdf,
+                        cdf_len, cdf_off, m)
+                else:
+                    rows, lens, offs = expand_tables(
+                        idx.reshape(n_, m), cdf, cdf_len, cdf_off)
+                    vals, states, ptrs = lane_decode_round(
+                        states, ptrs, words, rows, lens, offs, m)
                 vals = apply_fixups(vals, fix_pos, fix_val, fix_act,
                                     lo.astype(jnp.int32), m)
                 # int16 symbols: the SAME input dtype the host-wire decode

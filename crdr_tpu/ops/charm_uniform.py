@@ -345,18 +345,25 @@ def uniform_decode_loop(packed: Dict[str, Array], hyper_mean: Array,
     to ``decode_final`` (the same program the host wire runs).
     """
     from .device_rans import (apply_fixups, expand_tables, init_lane_state,
-                              lane_decode_round)
+                              instep_tables_enabled, lane_decode_round,
+                              lane_decode_round_instep)
 
     n, h, w = hyper_mean.shape[:3]
     m = h * w * slice_ch
     states, ptrs = init_lane_state(words)
+    instep = instep_tables_enabled()
 
     def body(carry, i):
         states, ptrs, support, mu, idx = carry
-        rows, lens, offs = expand_tables(
-            idx.reshape(n, m), cdf, cdf_len, cdf_off)
-        vals, states, ptrs = lane_decode_round(
-            states, ptrs, words, rows, lens, offs, m)
+        if instep:  # bandwidth-lean: rows expanded per step, VMEM-resident
+            vals, states, ptrs = lane_decode_round_instep(
+                states, ptrs, words, idx.reshape(n, m), cdf, cdf_len,
+                cdf_off, m)
+        else:
+            rows, lens, offs = expand_tables(
+                idx.reshape(n, m), cdf, cdf_len, cdf_off)
+            vals, states, ptrs = lane_decode_round(
+                states, ptrs, words, rows, lens, offs, m)
         vals = apply_fixups(vals, fix_pos, fix_val, fix_act, i * m, m)
         # int16 round trip matches the rans_round executable's output dtype
         sym = vals.reshape(idx.shape).astype(jnp.int16)

@@ -58,6 +58,37 @@ def expand_tables(idx: Array, cdf: Array, cdf_len: Array, offset: Array
     return rows, lens, offs
 
 
+def _decode_step_core(st, pt, words, row, ln, off, act, pos, w_max):
+    """One lane-advance: CDF search + uint32 state update (shared by both
+    scan bodies below; every op is exact — see module docstring)."""
+    mod = (st & jnp.uint32(0xFFFF))
+    modf = mod.astype(jnp.float32)[..., None]
+    big_l = row.shape[-1]
+    # CDF search: s = #{p < len-1 : row[p] <= mod} - 1  (row[0] == 0)
+    valid = pos[None, None, :] < (ln[..., None] - 1.0)
+    s = jnp.sum(jnp.where((row <= modf) & valid, 1.0, 0.0),
+                axis=-1) - 1.0                # [N, K] f32, exact small int
+    sel = jax.nn.one_hot(s.astype(jnp.int32), big_l, dtype=jnp.float32)
+    low = jnp.sum(row * sel, axis=-1)         # exact: single nonzero term
+    sel1 = jax.nn.one_hot(s.astype(jnp.int32) + 1, big_l,
+                          dtype=jnp.float32)
+    freq = jnp.sum(row * sel1, axis=-1) - low
+    value = (s + off).astype(jnp.int32)
+    # uint32 state update + at-most-one-word renorm
+    low_u = low.astype(jnp.uint32)
+    freq_u = freq.astype(jnp.uint32)
+    x_new = freq_u * (st >> 16) + mod - low_u
+    need = x_new < jnp.uint32(1 << 16)
+    word = jnp.take_along_axis(
+        words, jnp.minimum(pt, w_max)[..., None].astype(jnp.int32),
+        axis=-1)[..., 0]
+    x_ren = jnp.where(need, (x_new << 16) | word, x_new)
+    upd = act[None, :]
+    st = jnp.where(upd, x_ren, st)
+    pt = jnp.where(upd & need, pt + 1, pt)
+    return st, pt, value
+
+
 def lane_decode_round(states: Array, ptrs: Array, words: Array,
                       rows: Array, lens: Array, offs: Array, m: int
                       ) -> Tuple[Array, Array, Array]:
@@ -67,6 +98,12 @@ def lane_decode_round(states: Array, ptrs: Array, words: Array,
     rows: [N, m, L] f32 (from :func:`expand_tables`), lens/offs: [N, m].
     Symbol p goes to lane p % K (the encoder's per-round assignment).
     Returns (values [N, m] int32, states, ptrs).
+
+    HBM note: the precomputed ``rows`` tensor (N*m*L f32) streams through
+    the scan from HBM — for flagship shapes that is hundreds of MB per
+    round.  :func:`lane_decode_round_instep` is the bandwidth-lean variant
+    (table rows expanded inside the step); this form remains for the
+    CRDR_INSTEP_TABLES=0 escape hatch and as the semantics reference.
     """
     n, k = states.shape
     big_l = rows.shape[-1]
@@ -90,36 +127,72 @@ def lane_decode_round(states: Array, ptrs: Array, words: Array,
     def step(carry, xs):
         st, pt = carry
         row, ln, off, act = xs
-        mod = (st & jnp.uint32(0xFFFF))
-        modf = mod.astype(jnp.float32)[..., None]
-        # CDF search: s = #{p < len-1 : row[p] <= mod} - 1  (row[0] == 0)
-        valid = pos[None, None, :] < (ln[..., None] - 1.0)
-        s = jnp.sum(jnp.where((row <= modf) & valid, 1.0, 0.0),
-                    axis=-1) - 1.0            # [N, K] f32, exact small int
-        sel = jax.nn.one_hot(s.astype(jnp.int32), big_l, dtype=jnp.float32)
-        low = jnp.sum(row * sel, axis=-1)     # exact: single nonzero term
-        sel1 = jax.nn.one_hot(s.astype(jnp.int32) + 1, big_l,
-                              dtype=jnp.float32)
-        freq = jnp.sum(row * sel1, axis=-1) - low
-        value = (s + off).astype(jnp.int32)
-        # uint32 state update + at-most-one-word renorm
-        low_u = low.astype(jnp.uint32)
-        freq_u = freq.astype(jnp.uint32)
-        x_new = freq_u * (st >> 16) + mod - low_u
-        need = x_new < jnp.uint32(1 << 16)
-        word = jnp.take_along_axis(
-            words, jnp.minimum(pt, w_max)[..., None].astype(jnp.int32),
-            axis=-1)[..., 0]
-        x_ren = jnp.where(need, (x_new << 16) | word, x_new)
-        upd = act[None, :]
-        st = jnp.where(upd, x_ren, st)
-        pt = jnp.where(upd & need, pt + 1, pt)
+        st, pt, value = _decode_step_core(st, pt, words, row, ln, off, act,
+                                          pos, w_max)
         return (st, pt), value
 
     (states, ptrs), vals_t = jax.lax.scan(
         step, (states, ptrs), (rows_t, lens_t, offs_t, active_t))
     vals = jnp.moveaxis(vals_t, 0, 1).reshape(n, t_steps * k)[:, :m]
     return vals, states, ptrs
+
+
+def lane_decode_round_instep(states: Array, ptrs: Array, words: Array,
+                             idx: Array, cdf: Array, cdf_len: Array,
+                             cdf_off: Array, m: int
+                             ) -> Tuple[Array, Array, Array]:
+    """:func:`lane_decode_round` with the table expansion INSIDE the scan
+    step — the HBM-traffic fix for the profiler's top line (profile_r4.md:
+    the precomputed-rows form streams N*m*L f32 per round from HBM; ~405 MB
+    per slice at flagship shapes, ~4 GB per batch-8 Charm decode).
+
+    Here the scan consumes only ``idx`` slices ([T, N, K] int32) and
+    expands each step's [N, K, L] rows from the loop-invariant CDF table
+    (R*L int32, ~66 KB — VMEM-class) via the SAME exact one-hot matmul
+    (:func:`expand_tables`), so the row data lives and dies as a VMEM
+    temporary and never round-trips HBM.  Arithmetic is op-for-op identical
+    to the precomputed form — same one-hot expansion, same search, same
+    state update — so the decoded symbols are bit-identical by
+    construction (asserted vs the host C++ coder in tests/test_device_rans
+    and vs the precomputed form in tests/test_instep_tables.py).
+
+    idx: [N, M>=m] int32 per-symbol table indexes in flat lane order.
+    """
+    n, k = states.shape
+    big_l = cdf.shape[-1]
+    t_steps = -(-m // k)  # ceil
+    pad = t_steps * k - m
+    idx = idx[:, :m].astype(jnp.int32)
+    # pad with row 0 (a valid table row): padded lanes are masked inactive,
+    # so their search result and state update are discarded
+    idx_p = jnp.pad(idx, ((0, 0), (0, pad)))
+    idx_t = jnp.moveaxis(idx_p.reshape(n, t_steps, k), 1, 0)  # [T, N, K]
+    tj = (jnp.arange(t_steps)[:, None] * k + jnp.arange(k)[None, :])
+    active_t = tj < m                         # [T, K]
+    pos = jnp.arange(big_l, dtype=jnp.float32)
+    w_max = words.shape[-1] - 1
+
+    def step(carry, xs):
+        st, pt = carry
+        irow, act = xs
+        row, ln, off = expand_tables(irow, cdf, cdf_len, cdf_off)
+        st, pt, value = _decode_step_core(st, pt, words, row, ln, off, act,
+                                          pos, w_max)
+        return (st, pt), value
+
+    (states, ptrs), vals_t = jax.lax.scan(
+        step, (states, ptrs), (idx_t, active_t))
+    vals = jnp.moveaxis(vals_t, 0, 1).reshape(n, t_steps * k)[:, :m]
+    return vals, states, ptrs
+
+
+def instep_tables_enabled() -> bool:
+    """Default ON: the in-step form is bit-identical by construction and
+    strictly lighter on HBM; CRDR_INSTEP_TABLES=0 is the A/B escape hatch
+    (read at program-build time, like CRDR_FUSED_LOOP)."""
+    import os
+
+    return os.environ.get("CRDR_INSTEP_TABLES", "1") == "1"
 
 
 def encode_grid(slice_offsets, num_lanes: int) -> "np.ndarray":

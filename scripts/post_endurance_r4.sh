@@ -71,4 +71,15 @@ run ab_fused 2400 python scripts/ab_fused_loop.py \
 #    .json, the numerator of bench.py's vs_torch_cpu_train.
 run bench_train 1800 python scripts/bench_train.py --stage 1 --mixed
 
+# 7. (r5) In-step table expansion A/B (VERDICT r4 item 4): the default now
+#    expands CDF rows inside the scan step (ops/device_rans.py
+#    lane_decode_round_instep — cuts the profiler's top HBM line ~10x);
+#    this leg re-times the OLD precomputed-rows form for the delta, and
+#    the profiler re-run quantifies the byte reduction vs profile_r4.md.
+#    (leg 1 profile_device is the "after"; this is the same-window "before")
+ENV_EXTRA=(CRDR_INSTEP_TABLES=0)
+run bench_instep0 1500 python bench.py
+run profile_instep0 1500 python scripts/profile_roundtrip.py --wire device
+ENV_EXTRA=()
+
 echo "=== post queue done ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
