@@ -132,7 +132,8 @@ def lane_decode_round(states: Array, ptrs: Array, words: Array,
         return (st, pt), value
 
     (states, ptrs), vals_t = jax.lax.scan(
-        step, (states, ptrs), (rows_t, lens_t, offs_t, active_t))
+        step, (states, ptrs), (rows_t, lens_t, offs_t, active_t),
+        unroll=_scan_unroll())
     vals = jnp.moveaxis(vals_t, 0, 1).reshape(n, t_steps * k)[:, :m]
     return vals, states, ptrs
 
@@ -181,7 +182,7 @@ def lane_decode_round_instep(states: Array, ptrs: Array, words: Array,
         return (st, pt), value
 
     (states, ptrs), vals_t = jax.lax.scan(
-        step, (states, ptrs), (idx_t, active_t))
+        step, (states, ptrs), (idx_t, active_t), unroll=_scan_unroll())
     vals = jnp.moveaxis(vals_t, 0, 1).reshape(n, t_steps * k)[:, :m]
     return vals, states, ptrs
 
@@ -193,6 +194,22 @@ def instep_tables_enabled() -> bool:
     import os
 
     return os.environ.get("CRDR_INSTEP_TABLES", "1") == "1"
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the serial lane scans (default 8; CRDR_SCAN_UNROLL
+    overrides, read at program-build time).  Unrolling changes NOTHING about
+    the arithmetic — the unrolled sub-steps stay sequentially data-dependent
+    in the exact original order — it only amortizes the per-iteration loop
+    overhead of ``lax.scan`` on TPU (loop control + buffer rotation), which
+    at T≈384 tiny VPU steps per slice is a real fraction of the decode
+    floor.  Bitstreams are identical by construction."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("CRDR_SCAN_UNROLL", "8")))
+    except ValueError:
+        return 8
 
 
 def encode_grid(slice_offsets, num_lanes: int) -> "np.ndarray":
@@ -288,7 +305,8 @@ def lane_encode_rounds(sym: Array, idx: Array, grid, cdf: Array,
         return jnp.where(act, st2, st1), (word, emit)
 
     state, (words_t, emit_t) = jax.lax.scan(
-        step, init, (low_g, freq_g, active), reverse=True)
+        step, init, (low_g, freq_g, active), reverse=True,
+        unroll=_scan_unroll())
 
     # stream compaction: the C++ coder writes emissions reversed, so the
     # word from grid row t lands at 2 + #{emissions at rows < t} (per lane)
