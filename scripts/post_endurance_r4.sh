@@ -82,4 +82,10 @@ run bench_instep0 1500 python bench.py
 run profile_instep0 1500 python scripts/profile_roundtrip.py --wire device
 ENV_EXTRA=()
 
+# 8. (r5) Scan-unroll A/B: default is unroll=8 on the serial lane scans;
+#    this leg re-times unroll=1 (the pre-r5 behavior) for the delta.
+ENV_EXTRA=(CRDR_SCAN_UNROLL=1)
+run bench_unroll1 1500 python bench.py
+ENV_EXTRA=()
+
 echo "=== post queue done ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
