@@ -479,13 +479,22 @@ class CodecProgramsMixin:
                                            lane_decode_round,
                                            lane_decode_round_instep)
 
+            from ..ops.pallas_lane_decode import (pallas_lane_decode_round,
+                                                  pallas_lanes_mode)
+
             def fn(states, ptrs, words, idx, fix_pos, fix_val, fix_act, lo,
                    cdf, cdf_len, cdf_off):
                 n_ = idx.shape[0]
                 m = int(np.prod(idx.shape[1:]))
                 if states is None:  # first round: seed lanes from the words
                     states, ptrs = init_lane_state(words)
-                if instep_tables_enabled():  # see ops/device_rans.py: the
+                lanes_mode = pallas_lanes_mode()
+                if lanes_mode:  # opt-in Mosaic lane kernel
+                    vals, states, ptrs = pallas_lane_decode_round(
+                        states, ptrs, words, idx.reshape(n_, m), cdf,
+                        cdf_len, cdf_off, m,
+                        interpret=(lanes_mode == "interp"))
+                elif instep_tables_enabled():  # see ops/device_rans.py: the
                     # bandwidth-lean form (rows expanded per scan step from
                     # the VMEM-class table; bit-identical by construction)
                     vals, states, ptrs = lane_decode_round_instep(

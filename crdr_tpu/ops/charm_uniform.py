@@ -352,10 +352,17 @@ def uniform_decode_loop(packed: Dict[str, Array], hyper_mean: Array,
     m = h * w * slice_ch
     states, ptrs = init_lane_state(words)
     instep = instep_tables_enabled()
+    from .pallas_lane_decode import pallas_lane_decode_round, \
+        pallas_lanes_mode
+    lanes_mode = pallas_lanes_mode()
 
     def body(carry, i):
         states, ptrs, support, mu, idx = carry
-        if instep:  # bandwidth-lean: rows expanded per step, VMEM-resident
+        if lanes_mode:  # opt-in Mosaic kernel (whole round in VMEM)
+            vals, states, ptrs = pallas_lane_decode_round(
+                states, ptrs, words, idx.reshape(n, m), cdf, cdf_len,
+                cdf_off, m, interpret=(lanes_mode == "interp"))
+        elif instep:  # bandwidth-lean: rows expanded per step, VMEM-resident
             vals, states, ptrs = lane_decode_round_instep(
                 states, ptrs, words, idx.reshape(n, m), cdf, cdf_len,
                 cdf_off, m)

@@ -88,4 +88,12 @@ ENV_EXTRA=(CRDR_SCAN_UNROLL=1)
 run bench_unroll1 1500 python bench.py
 ENV_EXTRA=()
 
+# 9. (r5) Opt-in Mosaic lane-decode kernel (ops/pallas_lane_decode.py):
+#    whole decode round as one VMEM-resident kernel.  First compiled run on
+#    real hardware — bounded; a Mosaic rejection fails only this leg and
+#    the default (off) is unaffected.
+ENV_EXTRA=(CRDR_PALLAS_LANES=1)
+run bench_lanes 1500 python bench.py
+ENV_EXTRA=()
+
 echo "=== post queue done ($(date +%T)) ===" | tee -a /tmp/post_r4/summary.log
