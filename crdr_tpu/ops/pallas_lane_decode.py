@@ -58,6 +58,9 @@ def _kernel(idx_ref, words_ref, cdf_ref, st_ref, pt_ref,
     lp = cdf_ref.shape[0]
     cdf = cdf_ref[:, :]                              # [Lp, R] f32
     pos_l = jax.lax.broadcasted_iota(jnp.float32, (lp, 1), 0)  # [Lp, 1]
+    # words_ref is the per-round WINDOW [Tw, NK]: row j holds the word each
+    # lane would read after its j-th renorm of this round (built by the
+    # caller with one XLA gather).  pt is window-relative, starting at 0.
     pos_w = jax.lax.broadcasted_iota(jnp.int32, (words_ref.shape[0], 1), 0)
     # lane j of step t decodes flat symbol t*K + (j % K); j // K is the
     # batch element.  active mask depends only on (t, j % K).
@@ -138,15 +141,21 @@ def pallas_lane_decode_round(states: Array, ptrs: Array, words: Array,
                     ((0, 0), (0, t_steps * k - m)))
     idx_t = jnp.pad(jnp.moveaxis(idx_p.reshape(n, t_steps, k), 1, 0)
                     .reshape(t_steps, nk), ((0, 0), (0, pad_nk)))
-    # streams transposed to [W, NKp] so the word fetch's masked sum rides
-    # the lane axis; int32 holds the 16-bit words exactly
-    words_t = jnp.pad(
-        jnp.moveaxis(words.astype(jnp.int32).reshape(nk, w), 0, 1),
-        ((0, 0), (0, pad_nk)))
+    # per-round word WINDOW [Tw, NKp]: each lane renorms at most once per
+    # step, so this round touches words[p0 .. p0 + T] only.  One cheap XLA
+    # gather here keeps the kernel's fetch a Tw-deep masked sum (Tw ~ T+1,
+    # vs the full stream depth W) and the kernel VMEM small.  Index
+    # clamping to W-1 reproduces the XLA form's min(pt, w_max) exactly.
+    tw = t_steps + 1
+    words_flat = words.astype(jnp.int32).reshape(nk, w)
+    p0 = ptrs.astype(jnp.int32).reshape(nk)
+    wnd_idx = jnp.minimum(p0[:, None] + jnp.arange(tw, dtype=jnp.int32),
+                          w - 1)
+    wnd = jnp.take_along_axis(words_flat, wnd_idx, axis=1)  # [NK, Tw]
+    wnd_t = jnp.pad(jnp.moveaxis(wnd, 0, 1), ((0, 0), (0, pad_nk)))
     st_i = jnp.pad(jax.lax.bitcast_convert_type(states, jnp.int32)
                    .reshape(1, nk), ((0, 0), (0, pad_nk)))  # [1, NKp]
-    pt_i = jnp.pad(ptrs.astype(jnp.int32).reshape(1, nk),
-                   ((0, 0), (0, pad_nk)))
+    pt_i = jnp.zeros((1, nkp), jnp.int32)  # window-relative cursor
 
     kern = functools.partial(_kernel, t_steps=t_steps, m=m, k=k,
                              big_l=big_l)
@@ -160,14 +169,14 @@ def pallas_lane_decode_round(states: Array, ptrs: Array, words: Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
-    )(idx_t, words_t, cdf_aug, st_i, pt_i)
+    )(idx_t, wnd_t, cdf_aug, st_i, pt_i)
 
     vals = jnp.moveaxis(
         vals_t[:, :nk].reshape(t_steps, n, k), 0, 1).reshape(
         n, t_steps * k)[:, :m]
     states_o = jax.lax.bitcast_convert_type(
         st_o[0, :nk].reshape(n, k), jnp.uint32)
-    ptrs_o = pt_o[0, :nk].reshape(n, k)
+    ptrs_o = (p0 + pt_o[0, :nk]).reshape(n, k)  # back to absolute
     return vals, states_o, ptrs_o
 
 

@@ -91,5 +91,9 @@ def test_state_carry_across_forms():
 def test_opt_in_flag(monkeypatch):
     monkeypatch.delenv("CRDR_PALLAS_LANES", raising=False)
     assert not pallas_lanes_enabled()  # off until promoted by on-chip A/B
-    monkeypatch.setenv("CRDR_PALLAS_LANES", "1")
+    monkeypatch.setenv("CRDR_PALLAS_LANES", "interp")
     assert pallas_lanes_enabled()
+    monkeypatch.setenv("CRDR_PALLAS_LANES", "1")
+    # compiled mode needs a non-CPU backend; under the CPU conftest it
+    # must gate itself off rather than hand Mosaic an impossible target
+    assert not pallas_lanes_enabled()
