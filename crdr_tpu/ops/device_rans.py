@@ -197,19 +197,23 @@ def instep_tables_enabled() -> bool:
 
 
 def _scan_unroll() -> int:
-    """Unroll factor for the serial lane scans (default 8; CRDR_SCAN_UNROLL
-    overrides, read at program-build time).  Unrolling changes NOTHING about
-    the arithmetic — the unrolled sub-steps stay sequentially data-dependent
-    in the exact original order — it only amortizes the per-iteration loop
-    overhead of ``lax.scan`` on TPU (loop control + buffer rotation), which
-    at T≈384 tiny VPU steps per slice is a real fraction of the decode
-    floor.  Bitstreams are identical by construction."""
+    """Unroll factor for the serial lane scans (CRDR_SCAN_UNROLL, read at
+    program-build time).  Unrolling changes NOTHING about the arithmetic —
+    the unrolled sub-steps stay sequentially data-dependent in the exact
+    original order — so bitstreams are identical by construction.
+
+    Default 1: the r5 on-chip A/B measured unroll=8 neutral-to-NEGATIVE
+    (device-wire pipelined 1.598 vs 1.865 Mpix/s in the adjacent-window
+    pair, 1.835 vs 1.914 cross-window; serial a wash) — the bigger
+    unrolled body appears to cost more in scheduling/pressure than the
+    per-iteration loop overhead it saves.  The knob stays for future
+    hardware/toolchain revisions."""
     import os
 
     try:
-        return max(1, int(os.environ.get("CRDR_SCAN_UNROLL", "8")))
+        return max(1, int(os.environ.get("CRDR_SCAN_UNROLL", "1")))
     except ValueError:
-        return 8
+        return 1
 
 
 def encode_grid(slice_offsets, num_lanes: int) -> "np.ndarray":

@@ -57,11 +57,16 @@ def _kernel(idx_ref, words_ref, cdf_ref, st_ref, pt_ref,
     nk = st_ref.shape[-1]
     lp = cdf_ref.shape[0]
     cdf = cdf_ref[:, :]                              # [Lp, R] f32
-    pos_l = jax.lax.broadcasted_iota(jnp.float32, (lp, 1), 0)  # [Lp, 1]
+    # full-width INTEGER row iotas: Mosaic rejects both single-lane column
+    # vectors (vector<Nx1>) and float-typed tpu.iota, so build [rows, NK]
+    # int32 and convert (exact for these small ranges)
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (lp, nk), 0) \
+        .astype(jnp.float32)                                  # [Lp, NK]
     # words_ref is the per-round WINDOW [Tw, NK]: row j holds the word each
     # lane would read after its j-th renorm of this round (built by the
     # caller with one XLA gather).  pt is window-relative, starting at 0.
-    pos_w = jax.lax.broadcasted_iota(jnp.int32, (words_ref.shape[0], 1), 0)
+    pos_w = jax.lax.broadcasted_iota(jnp.int32,
+                                     (words_ref.shape[0], nk), 0)
     # lane j of step t decodes flat symbol t*K + (j % K); j // K is the
     # batch element.  active mask depends only on (t, j % K).
     lane_in_k = jax.lax.broadcasted_iota(jnp.int32, (1, nk), 1) % k
