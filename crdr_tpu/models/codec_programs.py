@@ -479,7 +479,8 @@ class CodecProgramsMixin:
                                            lane_decode_round,
                                            lane_decode_round_instep)
 
-            from ..ops.pallas_lane_decode import (pallas_lane_decode_round,
+            from ..ops.pallas_lane_decode import (kernel_fits,
+                                                  pallas_lane_decode_round,
                                                   pallas_lanes_mode)
 
             def fn(states, ptrs, words, idx, fix_pos, fix_val, fix_act, lo,
@@ -489,6 +490,9 @@ class CodecProgramsMixin:
                 if states is None:  # first round: seed lanes from the words
                     states, ptrs = init_lane_state(words)
                 lanes_mode = pallas_lanes_mode()
+                if lanes_mode and not kernel_fits(n_, words.shape[1], m,
+                                                  cdf.shape[-1]):
+                    lanes_mode = None  # VMEM gate -> XLA in-step path
                 if lanes_mode:  # opt-in Mosaic lane kernel
                     vals, states, ptrs = pallas_lane_decode_round(
                         states, ptrs, words, idx.reshape(n_, m), cdf,

@@ -352,9 +352,11 @@ def uniform_decode_loop(packed: Dict[str, Array], hyper_mean: Array,
     m = h * w * slice_ch
     states, ptrs = init_lane_state(words)
     instep = instep_tables_enabled()
-    from .pallas_lane_decode import pallas_lane_decode_round, \
-        pallas_lanes_mode
+    from .pallas_lane_decode import (kernel_fits, pallas_lane_decode_round,
+                                     pallas_lanes_mode)
     lanes_mode = pallas_lanes_mode()
+    if lanes_mode and not kernel_fits(n, words.shape[1], m, cdf.shape[-1]):
+        lanes_mode = None  # VMEM gate: fall back to the XLA in-step path
 
     def body(carry, i):
         states, ptrs, support, mu, idx = carry

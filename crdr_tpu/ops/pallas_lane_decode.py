@@ -185,6 +185,25 @@ def pallas_lane_decode_round(states: Array, ptrs: Array, words: Array,
     return vals, states_o, ptrs_o
 
 
+def kernel_fits(n: int, k: int, m: int, big_l: int, budget_mb: float = 11.0
+                ) -> bool:
+    """Static VMEM estimate for one kernel invocation (everything must be
+    VMEM-resident).  The dominant terms are the [Lp, NK] f32 row/compare
+    temporaries — with the flagship gaussian table (L ~ 3.1k entries) they
+    are ~12.8 MB EACH at batch 8, which is why the first on-chip attempt
+    OOM'd scoped vmem by 1.09 MB (2026-08-21 log, profile_r5.md).  Callers
+    fall back to the XLA in-step path when this returns False; a chunked
+    two-pass search would fit but doubles the per-step matmul cost, which
+    the measured XLA-path numbers do not justify."""
+    nkp = _round_up(n * k, 128)
+    t_steps = -(-m // k)
+    lp = _round_up(big_l + 2, 8)
+    temps = 4 * lp * nkp * 4                 # rows + cmp + two select masks
+    seq = (3 * t_steps + 1) * nkp * 4        # idx, vals, window
+    table = lp * _round_up(128, 128) * 4
+    return (temps + seq + table) < budget_mb * 2**20
+
+
 def pallas_lanes_enabled() -> bool:
     """Opt-in (CRDR_PALLAS_LANES=1): unlike the instep/unroll defaults this
     changes the program structure, so it stays off until the on-chip A/B
